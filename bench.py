@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Headline benchmark: banded-HMM event-aligned reads/s/chip.
+
+Measures the per-read load-time DP (adaptive banded event alignment, the
+reference's HOT LOOP #1, src/nanopolish_raw_loader.cpp:77-379) batched on
+one TPU chip, against a 16-thread CPU baseline.
+
+The upstream reference binary cannot be built in this image (empty vendored
+submodules, no network), so the CPU baseline is an independent C++
+implementation of the same algorithm (csrc/cpu_baseline.cpp) measured
+single-thread and scaled by 16 (the reference parallelizes embarrassingly
+over reads with OpenMP; scaling over reads is ~linear).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import ctypes
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# benchmark shape: 8 kb reads at ~2 events/base (r9.4 DNA typical)
+N_BASES = 8192
+EVENTS_PER_BASE = 2.0
+BATCH = 64
+N_BATCHES = 4
+CPU_THREADS_BASELINE = 16
+CPU_SAMPLE_READS = 3
+
+
+def make_reads(batch, seed=0):
+    from nanopolish_tpu.models.pore_model import PoreModelSet
+
+    model = PoreModelSet.instance().get_model(
+        "r9.4_450bps", "nucleotide", "template", 6)
+    rng = np.random.default_rng(seed)
+    K = N_BASES - 6 + 1
+    T = int(N_BASES * EVENTS_PER_BASE)
+    ranks = rng.integers(0, 4096, size=(batch, K)).astype(np.int32)
+    mu = model.level_mean[ranks].astype(np.float32)
+    sigma = model.level_stdv[ranks].astype(np.float32)
+    reps = np.minimum((np.arange(T) / EVENTS_PER_BASE).astype(np.int64), K - 1)
+    ev = (mu[:, reps] + rng.normal(0, 1.0, size=(batch, T)).astype(np.float32)
+          * sigma[:, reps])
+    n_events = np.full((batch,), T, np.int32)
+    n_kmers = np.full((batch,), K, np.int32)
+    return ev.astype(np.float32), n_events, mu, sigma, np.log(sigma), n_kmers
+
+
+def bench_tpu():
+    import jax
+
+    from nanopolish_tpu.ops.banded_align import banded_align_batch
+
+    args = make_reads(BATCH)
+    dev_args = [jax.device_put(a) for a in args]
+    # warmup / compile
+    res = banded_align_batch(*dev_args)
+    jax.block_until_ready(res.b2e_start)
+    n_ok = int(np.sum(~np.asarray(res.failed)))
+    t0 = time.perf_counter()
+    for i in range(N_BATCHES):
+        res = banded_align_batch(*dev_args)
+    jax.block_until_ready(res.b2e_start)
+    dt = time.perf_counter() - t0
+    reads_per_s = BATCH * N_BATCHES / dt
+    return reads_per_s, n_ok
+
+
+def bench_cpu():
+    lib_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "nanopolish_tpu", "data", "libnanopolish_tpu.so")
+    lib = ctypes.CDLL(lib_path)
+    f = lib.npt_cpu_banded_align
+    f.restype = ctypes.c_int64
+    f.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                  ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                  ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+
+    ev, n_events, mu, sigma, log_sigma, n_kmers = make_reads(CPU_SAMPLE_READS, seed=1)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    # warmup
+    f(ptr(ev[0]), int(n_events[0]), ptr(mu[0]), ptr(sigma[0]),
+      ptr(log_sigma[0]), int(n_kmers[0]))
+    t0 = time.perf_counter()
+    for b in range(CPU_SAMPLE_READS):
+        r = f(ptr(ev[b]), int(n_events[b]), ptr(mu[b]), ptr(sigma[b]),
+              ptr(log_sigma[b]), int(n_kmers[b]))
+        assert r > 0
+    dt = time.perf_counter() - t0
+    per_read = dt / CPU_SAMPLE_READS
+    return CPU_THREADS_BASELINE / per_read     # reads/s at 16 threads
+
+
+def main():
+    cpu_rate = bench_cpu()
+    tpu_rate, n_ok = bench_tpu()
+    print(json.dumps({
+        "metric": "banded_event_align_reads_per_s_per_chip",
+        "value": round(tpu_rate, 2),
+        "unit": "reads/s (8kb reads, 2 ev/base)",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

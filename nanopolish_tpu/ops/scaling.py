@@ -149,22 +149,25 @@ def mstate_events_batch(b2e_start, b2e_stop, kmer_ranks, n_kmers):
     are 'E' and never counted.  Equivalent to mstate_mask_from_b2e because
     within one kmer only the first event can be 'M'.
 
-    Wait: if the previous kmer has the same rank, the first event of this
+    Note: if the previous kmer has the same rank, the first event of this
     kmer is 'E' too — handled by comparing with the previous *mapped* kmer's
-    rank.  All numpy, batched:
+    rank.  jnp ops, so usable both eagerly and under jit/shard_map.
 
     Args: b2e_start/stop [B, K] i32, kmer_ranks [B, K] i32, n_kmers [B]
     Returns: mask [B, K] bool ('M' kmers), event_idx = b2e_start
     """
+    b2e_start = jnp.asarray(b2e_start)
+    kmer_ranks = jnp.asarray(kmer_ranks)
+    n_kmers = jnp.asarray(n_kmers)
     B, K = b2e_start.shape
-    kpos = np.arange(K)[None, :]
+    kpos = jnp.arange(K, dtype=jnp.int32)[None, :]
     valid = (b2e_start >= 0) & (kpos < n_kmers[:, None])
     # previous mapped kmer's rank: forward-fill ranks over valid positions
-    idx = np.where(valid, kpos, -1)
-    ff = np.maximum.accumulate(idx, axis=1)               # last valid pos <= k
-    prev_ff = np.concatenate([np.full((B, 1), -1, ff.dtype), ff[:, :-1]], axis=1)
-    prev_rank = np.where(prev_ff >= 0,
-                         np.take_along_axis(kmer_ranks, np.maximum(prev_ff, 0), axis=1),
-                         -1)
+    idx = jnp.where(valid, kpos, -1)
+    ff = jax.lax.cummax(idx, axis=1)                      # last valid pos <= k
+    prev_ff = jnp.concatenate([jnp.full((B, 1), -1, ff.dtype), ff[:, :-1]], axis=1)
+    prev_rank = jnp.where(prev_ff >= 0,
+                          jnp.take_along_axis(kmer_ranks, jnp.maximum(prev_ff, 0), axis=1),
+                          -1)
     m_mask = valid & (kmer_ranks != prev_rank)
     return m_mask

@@ -1,6 +1,9 @@
 """Test config: run JAX on a virtual 8-device CPU mesh.
 
-Must set the env vars before jax is imported anywhere.
+The env vars must be set before any backend initializes; this image also
+auto-registers a TPU ("axon") PJRT plugin from sitecustomize, which imports
+jax before conftest runs — so the platform choice must additionally go
+through jax.config, which wins as long as no backend has been used yet.
 """
 
 import os
@@ -14,3 +17,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # the CPU backend; cache them across test runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/npt_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
