@@ -1,0 +1,142 @@
+"""Batched HMM segment execution: the device dispatch layer.
+
+Every analysis module reduces to scoring/aligning batches of "segments":
+(event slice, kmer window) pairs with per-read scalings.  This module packs
+heterogeneous segments into padded (T, K) buckets, runs the profile-HMM
+kernel batched, and unpacks per-segment results — the TPU replacement for
+the reference's per-call profile_hmm_score/align
+(src/hmm/nanopolish_profile_hmm.cpp:14-65).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.squiggle import SquiggleRead
+from ..ops.profile_hmm import (
+    make_transitions, profile_hmm_forward, profile_hmm_viterbi,
+    viterbi_backtrack,
+)
+
+
+@dataclass
+class HMMSegment:
+    """One profile-HMM call: events [n_events] against kmers [n_kmers].
+
+    levels are drift-scaled event means in traversal order; mu/sigma are the
+    read-scaled gaussians of the window's kmers (scale*level_mean + shift,
+    level_stdv * var).
+    """
+
+    levels: np.ndarray
+    mu: np.ndarray
+    sigma: np.ndarray
+    events_per_base: float
+    flags: int = 0
+
+
+def make_segment(read: SquiggleRead, strand: int, ranks: np.ndarray,
+                 event_start: int, event_stop: int, model=None,
+                 flags: int = 0) -> HMMSegment:
+    """Build a segment from a read's event range [start..stop] (either
+    direction) and a window's kmer ranks."""
+    if model is None:
+        model = read.base_model[strand]
+    s = read.scalings[strand]
+    stride = 1 if event_stop >= event_start else -1
+    idx = np.arange(event_start, event_stop + stride, stride)
+    ev = read.events[strand]
+    levels = ev.mean[idx] - (ev.start_time[idx] - ev.start_time[0]) * s.drift
+    mu = s.scale * model.level_mean[ranks] + s.shift
+    sigma = model.level_stdv[ranks] * s.var
+    return HMMSegment(levels=np.asarray(levels, np.float32),
+                      mu=np.asarray(mu, np.float32),
+                      sigma=np.asarray(sigma, np.float32),
+                      events_per_base=float(read.events_per_base[strand]),
+                      flags=flags)
+
+
+def _pad_dim(n: int, quantum: int) -> int:
+    return max(quantum, int(math.ceil(n / quantum)) * quantum)
+
+
+def _bucket_indices(segments: Sequence[HMMSegment], tq: int, kq: int):
+    """Group segment indices by (padded_T, padded_K, flags)."""
+    buckets = {}
+    for i, s in enumerate(segments):
+        key = (_pad_dim(len(s.levels), tq), _pad_dim(len(s.mu), kq), s.flags)
+        buckets.setdefault(key, []).append(i)
+    return buckets
+
+
+def viterbi_segments(segments: Sequence[HMMSegment],
+                     indel_bias: float = 1.0,
+                     t_quantum: int = 128, k_quantum: int = 32,
+                     max_batch: int = 128,
+                     ) -> List[Tuple[np.ndarray, np.ndarray, str]]:
+    """Viterbi-align each segment; returns per-segment
+    (event_offsets, kmer_idxs, state_string) in forward order
+    (profile_hmm_align_r9 semantics, r9.cpp:73-204)."""
+    results: List[Optional[Tuple]] = [None] * len(segments)
+    for (T, K, flags), idxs in _bucket_indices(segments, t_quantum, k_quantum).items():
+        for lo in range(0, len(idxs), max_batch):
+            chunk = idxs[lo:lo + max_batch]
+            B = len(chunk)
+            levels = np.zeros((B, T), np.float32)
+            mu = np.zeros((B, K), np.float32)
+            sigma = np.ones((B, K), np.float32)
+            n_events = np.zeros(B, np.int32)
+            n_kmers = np.zeros(B, np.int32)
+            epb = np.zeros(B, np.float32)
+            for bi, si in enumerate(chunk):
+                s = segments[si]
+                ne, nk = len(s.levels), len(s.mu)
+                levels[bi, :ne] = s.levels
+                mu[bi, :nk] = s.mu
+                sigma[bi, :nk] = s.sigma
+                n_events[bi] = ne
+                n_kmers[bi] = nk
+                epb[bi] = s.events_per_base
+            _, traces = profile_hmm_viterbi(
+                levels, n_events, mu, sigma, np.log(sigma), n_kmers, epb,
+                flags=flags, indel_bias=indel_bias, with_trace=True)
+            backs = viterbi_backtrack(np.asarray(traces), n_events, n_kmers)
+            for bi, si in enumerate(chunk):
+                results[si] = backs[bi]
+    return results  # type: ignore[return-value]
+
+
+def forward_segments(segments: Sequence[HMMSegment],
+                     indel_bias: float = 1.0,
+                     t_quantum: int = 128, k_quantum: int = 32,
+                     max_batch: int = 512) -> np.ndarray:
+    """Forward-score each segment; returns [n_segments] float32 lp."""
+    out = np.zeros(len(segments), np.float32)
+    for (T, K, flags), idxs in _bucket_indices(segments, t_quantum, k_quantum).items():
+        for lo in range(0, len(idxs), max_batch):
+            chunk = idxs[lo:lo + max_batch]
+            B = len(chunk)
+            levels = np.zeros((B, T), np.float32)
+            mu = np.zeros((B, K), np.float32)
+            sigma = np.ones((B, K), np.float32)
+            n_events = np.zeros(B, np.int32)
+            n_kmers = np.zeros(B, np.int32)
+            epb = np.zeros(B, np.float32)
+            for bi, si in enumerate(chunk):
+                s = segments[si]
+                ne, nk = len(s.levels), len(s.mu)
+                levels[bi, :ne] = s.levels
+                mu[bi, :nk] = s.mu
+                sigma[bi, :nk] = s.sigma
+                n_events[bi] = ne
+                n_kmers[bi] = nk
+                epb[bi] = s.events_per_base
+            lp = profile_hmm_forward(
+                levels, n_events, mu, sigma, np.log(sigma), n_kmers, epb,
+                flags=flags, indel_bias=indel_bias)
+            out[np.asarray(chunk)] = np.asarray(lp)
+    return out

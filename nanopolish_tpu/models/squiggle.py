@@ -180,3 +180,14 @@ class SquiggleRead:
         start = int(start_t * self.sample_rate) - int(self.sample_start_time)
         end = int((start_t + dur) * self.sample_rate) - int(self.sample_start_time)
         return start, end
+
+    def get_scaled_samples_for_event(self, strand: int, event_idx: int) -> np.ndarray:
+        """Shift/drift/scale-corrected raw samples of an event
+        (squiggle_read.cpp:399-417)."""
+        s = self.scalings[strand]
+        start, end = self.get_event_sample_idx(strand, event_idx)
+        idx = np.arange(start, end)
+        t = (self.sample_start_time + idx) / self.sample_rate \
+            - self.sample_start_time / self.sample_rate
+        scaled = (self.samples[start:end] - s.shift - t * s.drift) / s.scale
+        return scaled.astype(np.float32)
