@@ -212,9 +212,15 @@ def _fill_kernel(ev_ref, a_ref, b2_ref, c0_ref, nev_ref, nk_ref,
     bei_ref[:] = best_e[:]
 
 
-def _backtrack_kernel(trace_ref, crow_ref, nk_ref, bei_ref, bok_ref,
-                      enter_ref, emit_ref,
-                      cur_k, cur_e, done):
+def _backtrack_kernel(trace_ref, crow_ref, ev_ref, a_ref, b2_ref, c0_ref,
+                      nk_ref, bei_ref, bok_ref,
+                      enter_ref, emit_ref, sum_em_ref, stats_ref,
+                      cur_k, cur_e, done, wa2, wb2, wc2,
+                      em_acc, npair, mgap, slo, tmin):
+    """Reverse row walk + on-device QC: emission sums are recomputed for
+    every visited cell (incl. collapsed skip chains) by replaying the
+    window params — the window start is constant within a grid step, so
+    the reload is one lane-aligned DMA per read per step."""
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     B = nk_ref.shape[0]
@@ -225,6 +231,18 @@ def _backtrack_kernel(trace_ref, crow_ref, nk_ref, bei_ref, bok_ref,
         cur_k[:] = nk_ref[:, 0:1] - 1
         cur_e[:] = bei_ref[:, 0:1]
         done[:] = jnp.logical_not(bok_ref[:, 0:1])
+        em_acc[:] = jnp.zeros((B, 1), jnp.float32)
+        npair[:] = jnp.zeros((B, 1), jnp.int32)
+        mgap[:] = jnp.zeros((B, 1), jnp.int32)
+        slo[:] = jnp.full((B, 1), -1, jnp.int32)
+        tmin[:] = bei_ref[:, 0:1]
+
+    # window params of this grid step (c is per-step constant by design)
+    for b in range(B):
+        cb = pl.multiple_of(crow_ref[0, b], EP)
+        wa2[b, :] = a_ref[b, pl.ds(cb, W)]
+        wb2[b, :] = b2_ref[b, pl.ds(cb, W)]
+        wc2[b, :] = c0_ref[b, pl.ds(cb, W)]
 
     def row(r_rev, _):
         r = R - 1 - r_rev
@@ -251,6 +269,22 @@ def _backtrack_kernel(trace_ref, crow_ref, nk_ref, bei_ref, bok_ref,
         enter_ref[r, :] = jnp.where(act, cur_k[:], -1)[:, 0]
         emit_ref[r, :] = jnp.where(is_trim, -2, jnp.where(act, k2, -1))[:, 0]
 
+        # --- QC accumulation over all visited cells of this row ---
+        ev_t = jnp.max(jnp.where(_iota_b(B, R) == r, ev_ref[:, :], NEG),
+                       axis=1, keepdims=True)
+        dev = wa2[:] * ev_t - wb2[:]
+        em = wc2[:] - 0.5 * dev * dev
+        lo = jnp.where(is_trim, 0, k2)
+        hi = cur_k[:]
+        cmask = act & (lanes >= lo - c) & (lanes <= hi - c)
+        em_acc[:] = em_acc[:] + jnp.sum(jnp.where(cmask, em, 0.0),
+                                        axis=1, keepdims=True)
+        npair[:] = npair[:] + jnp.where(act, hi - lo + 1, 0)
+        gap = jnp.where(is_trim, hi + 1, hi - lo)
+        mgap[:] = jnp.maximum(mgap[:], jnp.where(act, gap, 0))
+        slo[:] = jnp.where(act, lo, slo[:])
+        tmin[:] = jnp.where(act, t, tmin[:])
+
         step = act & jnp.logical_not(is_trim)
         is_d = step & (tr2 == TR_D)
         cur_e[:] = jnp.where(step, cur_e[:] - 1, cur_e[:])
@@ -260,6 +294,12 @@ def _backtrack_kernel(trace_ref, crow_ref, nk_ref, bei_ref, bok_ref,
         return 0
 
     jax.lax.fori_loop(0, R, row, 0, unroll=False)
+
+    sum_em_ref[:] = em_acc[:]
+    stats_ref[:, 0:1] = npair[:]
+    stats_ref[:, 1:2] = mgap[:]
+    stats_ref[:, 2:3] = slo[:]
+    stats_ref[:, 3:4] = tmin[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -308,22 +348,29 @@ def _banded_fill_call(events, a_tab, b2_tab, c0_tab, n_events, n_kmers,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _banded_backtrack_call(trace, crow, n_kmers, best_ei, best_ok,
-                           interpret=False):
+def _banded_backtrack_call(trace, crow, events, a_tab, b2_tab, c0_tab,
+                           n_kmers, best_ei, best_ok, interpret=False):
     T, B, _ = trace.shape
     grid = T // R
     out_shape = (
-        jax.ShapeDtypeStruct((T, B), jnp.int32),
-        jax.ShapeDtypeStruct((T, B), jnp.int32),
+        jax.ShapeDtypeStruct((T, B), jnp.int32),        # enter_k
+        jax.ShapeDtypeStruct((T, B), jnp.int32),        # emit_k
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),      # sum_emission
+        jax.ShapeDtypeStruct((B, 4), jnp.int32),        # n_pairs/max_gap/span_lo/t_min
     )
     rev3 = lambda i: (grid - 1 - i, 0, 0)
     rev2 = lambda i: (grid - 1 - i, 0)
+    revev = lambda i: (0, grid - 1 - i)
     return pl.pallas_call(
         _backtrack_kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((R, B, W), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((R, B), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, R), revev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -331,36 +378,129 @@ def _banded_backtrack_call(trace, crow, n_kmers, best_ei, best_ok,
         out_specs=(
             pl.BlockSpec((R, B), rev2, memory_space=pltpu.VMEM),
             pl.BlockSpec((R, B), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((B, 1), jnp.int32),
-            pltpu.VMEM((B, 1), jnp.int32),
-            pltpu.VMEM((B, 1), jnp.bool_),
+            pltpu.VMEM((B, 1), jnp.int32),      # cur_k
+            pltpu.VMEM((B, 1), jnp.int32),      # cur_e
+            pltpu.VMEM((B, 1), jnp.bool_),      # done
+            pltpu.VMEM((B, W), jnp.float32),    # wa2
+            pltpu.VMEM((B, W), jnp.float32),    # wb2
+            pltpu.VMEM((B, W), jnp.float32),    # wc2
+            pltpu.VMEM((B, 1), jnp.float32),    # em_acc
+            pltpu.VMEM((B, 1), jnp.int32),      # npair
+            pltpu.VMEM((B, 1), jnp.int32),      # mgap
+            pltpu.VMEM((B, 1), jnp.int32),      # slo
+            pltpu.VMEM((B, 1), jnp.int32),      # tmin
         ],
         interpret=interpret,
-    )(trace, crow, n_kmers, best_ei, best_ok)
+    )(trace, crow, events, a_tab, b2_tab, c0_tab, n_kmers, best_ei, best_ok)
 
 
 # ---------------------------------------------------------------------------
-# Host wrapper
+# Device-side assembly + host wrapper
 # ---------------------------------------------------------------------------
 
 class PallasBandedResult(NamedTuple):
-    """Same payload as ops.banded_align.BandedAlignResult (numpy arrays)."""
+    """Same payload as ops.banded_align.BandedAlignResult.  Arrays are jax
+    device arrays; np.asarray() them only if host access is needed (the
+    d2h path through remote-attached TPUs is slow — downstream kernels
+    should consume b2e on device)."""
 
-    b2e_start: np.ndarray
-    b2e_stop: np.ndarray
-    failed: np.ndarray
-    avg_log_emission: np.ndarray
-    spanned: np.ndarray
-    max_gap: np.ndarray
-    events_per_base: np.ndarray
-    n_pairs: np.ndarray
+    b2e_start: "jnp.ndarray"
+    b2e_stop: "jnp.ndarray"
+    failed: "jnp.ndarray"
+    avg_log_emission: "jnp.ndarray"
+    spanned: "jnp.ndarray"
+    max_gap: "jnp.ndarray"
+    events_per_base: "jnp.ndarray"
+    n_pairs: "jnp.ndarray"
 
 
 def _pad_to(n, q):
     return max(q, int(math.ceil(n / q)) * q)
+
+
+@functools.partial(jax.jit, static_argnames=("K0",))
+def _b2e_from_rows(enter, emit, failed, K0):
+    """Scatter the per-row (enter, emit) walk into base->event maps.
+
+    b2e only needs the first-occurrence-of-event pairs (the D/U emit of
+    each row; terminal trim rows emit at kmer 0) — skipped kmers repeat
+    the previous event and are no-ops in the reference's map builder
+    (src/nanopolish_squiggle_read.cpp:283-295).
+    """
+    T, B = enter.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
+    valid = (enter >= 0) & jnp.logical_not(failed[None, :])
+    kidx = jnp.clip(jnp.where(emit == -2, 0, emit), 0, K0 - 1)
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (T, B), 1)
+    flat = jnp.where(valid, bidx * K0 + kidx, B * K0)
+    big = jnp.iinfo(jnp.int32).max
+    starts = jnp.full((B * K0 + 1,), big, jnp.int32).at[flat.ravel()].min(rows.ravel())
+    stops = jnp.full((B * K0 + 1,), -1, jnp.int32).at[flat.ravel()].max(rows.ravel())
+    b2e_start = jnp.where(starts[:-1] == big, -1, starts[:-1]).reshape(B, K0)
+    b2e_stop = stops[:-1].reshape(B, K0)
+    return b2e_start, b2e_stop
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "K0"))
+def _banded_align_device(ev, a_tab, b2_tab, c0_tab, nev, nk,
+                         lp_stay, lp_step, K0, interpret=False):
+    """fill -> backtrack -> QC verdicts -> b2e scatter, all on device."""
+    trace, crow, best_s, best_ei = _banded_fill_call(
+        ev, a_tab, b2_tab, c0_tab, nev, nk, lp_stay, lp_step,
+        interpret=interpret)
+    best_ok = best_s > NEG / 2
+    enter, emit, sum_em, stats = _banded_backtrack_call(
+        trace, crow, ev, a_tab, b2_tab, c0_tab, nk, best_ei, best_ok,
+        interpret=interpret)
+    n_pairs = stats[:, 0]
+    max_gap = stats[:, 1]
+    span_lo = stats[:, 2]
+    t_min = stats[:, 3]
+    avg_em = sum_em[:, 0] / jnp.maximum(n_pairs, 1).astype(jnp.float32)
+    spanned = (span_lo == 0) & best_ok[:, 0]
+    events_per_base = (best_ei[:, 0] - t_min).astype(jnp.float32) / \
+        jnp.maximum(nk[:, 0], 1).astype(jnp.float32)
+    failed = (~best_ok[:, 0]) | (avg_em < MIN_AVG_LOG_EMISSION) | \
+        (~spanned) | (max_gap > MAX_GAP_THRESHOLD) | (n_pairs == 0)
+    b2e_start, b2e_stop = _b2e_from_rows(enter, emit, failed, K0)
+    return PallasBandedResult(
+        b2e_start=b2e_start, b2e_stop=b2e_stop, failed=failed,
+        avg_log_emission=avg_em, spanned=spanned, max_gap=max_gap,
+        events_per_base=events_per_base, n_pairs=n_pairs)
+
+
+def prepare_tables(mu, sigma, log_sigma, n_kmers, Kp=None):
+    """Host-side padded emission tables (inv-sigma form) for the kernels."""
+    mu = np.asarray(mu, np.float32)
+    sigma = np.asarray(sigma, np.float32)
+    log_sigma = np.asarray(log_sigma, np.float32)
+    B, K0 = mu.shape
+    if Kp is None:
+        Kp = _pad_to(K0, 128) + 3 * EP
+    kmask = np.arange(K0)[None, :] < np.asarray(n_kmers)[:, None]
+    a_tab = np.zeros((B, Kp), np.float32)
+    b2_tab = np.zeros((B, Kp), np.float32)
+    c0_tab = np.full((B, Kp), NEG, np.float32)
+    inv_sigma = np.where(kmask, 1.0 / np.maximum(sigma, 1e-30), 0.0)
+    a_tab[:, :K0] = inv_sigma
+    b2_tab[:, :K0] = np.where(kmask, mu, 0.0) * inv_sigma
+    c0_tab[:, :K0] = np.where(kmask, LOG_INV_SQRT_2PI - log_sigma, NEG)
+    return a_tab, b2_tab, c0_tab
+
+
+def transition_params(n_events, n_kmers):
+    """Per-read lp_stay/lp_step (raw_loader.cpp:98-107)."""
+    epk = np.asarray(n_events, np.float64) / np.maximum(np.asarray(n_kmers), 1)
+    p_stay = 1.0 - 1.0 / (epk + 1.0)
+    lp_stay = np.log(np.maximum(p_stay, 1e-30)).astype(np.float32)[:, None]
+    lp_step = np.log(np.maximum(1.0 - p_stay - math.exp(LP_SKIP), 1e-30)
+                     ).astype(np.float32)[:, None]
+    return lp_stay, lp_step
 
 
 def banded_align_pallas(event_mean, n_events, mu, sigma, log_sigma, n_kmers,
@@ -369,121 +509,34 @@ def banded_align_pallas(event_mean, n_events, mu, sigma, log_sigma, n_kmers,
 
     Args match ops.banded_align.banded_align_batch: event_mean [B, T] f32,
     mu/sigma/log_sigma [B, K] f32 *scaled* gaussians, n_events/n_kmers [B].
-    Returns PallasBandedResult (host numpy arrays).
+    Returns PallasBandedResult of device arrays (sliced to [B, K]).
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     event_mean = np.asarray(event_mean, np.float32)
-    mu = np.asarray(mu, np.float32)
-    sigma = np.asarray(sigma, np.float32)
-    log_sigma = np.asarray(log_sigma, np.float32)
     n_events = np.asarray(n_events, np.int32)
     n_kmers = np.asarray(n_kmers, np.int32)
-
     B, T0 = event_mean.shape
     K0 = mu.shape[1]
     Bp = _pad_to(B, 8)
     Tp = _pad_to(T0, R)
-    Kp = _pad_to(K0, 128) + 3 * EP
 
     ev = np.zeros((Bp, Tp), np.float32)
     ev[:B, :T0] = event_mean
-    a_tab = np.zeros((Bp, Kp), np.float32)
-    b2_tab = np.zeros((Bp, Kp), np.float32)
-    c0_tab = np.full((Bp, Kp), NEG, np.float32)
-    inv_sigma = 1.0 / np.maximum(sigma, 1e-30)
-    a_tab[:B, :K0] = inv_sigma
-    b2_tab[:B, :K0] = mu * inv_sigma
-    c0_tab[:B, :K0] = LOG_INV_SQRT_2PI - log_sigma
+    a_tab, b2_tab, c0_tab = prepare_tables(mu, sigma, log_sigma, n_kmers)
+    if Bp != B:
+        pad = ((0, Bp - B), (0, 0))
+        a_tab = np.pad(a_tab, pad)
+        b2_tab = np.pad(b2_tab, pad)
+        c0_tab = np.pad(c0_tab, pad, constant_values=NEG)
     nev = np.zeros((Bp, 1), np.int32)
     nev[:B, 0] = n_events
     nk = np.full((Bp, 1), 2, np.int32)
     nk[:B, 0] = np.maximum(n_kmers, 2)
+    lp_stay, lp_step = transition_params(nev[:, 0], nk[:, 0])
 
-    epk = nev[:, 0].astype(np.float64) / np.maximum(nk[:, 0], 1)
-    p_stay = 1.0 - 1.0 / (epk + 1.0)
-    lp_stay = np.log(np.maximum(p_stay, 1e-30)).astype(np.float32)[:, None]
-    lp_step = np.log(np.maximum(
-        1.0 - np.exp(lp_stay[:, 0]) - math.exp(LP_SKIP), 1e-30)
-    ).astype(np.float32)[:, None]
-
-    trace, crow, best_s, best_ei = _banded_fill_call(
-        ev, a_tab, b2_tab, c0_tab, nev, nk, lp_stay, lp_step,
-        interpret=interpret)
-    best_ok = np.asarray(best_s) > NEG / 2
-    enter_k, emit_k = _banded_backtrack_call(
-        trace, crow, nk, best_ei, jnp.asarray(best_ok),
-        interpret=interpret)
-    return _postprocess(np.asarray(enter_k), np.asarray(emit_k),
-                        best_ok[:, 0], event_mean, mu, sigma, log_sigma,
-                        n_events, n_kmers, B, K0)
-
-
-def _postprocess(enter_k, emit_k, best_ok, event_mean, mu, sigma,
-                 log_sigma, n_events, n_kmers, B, K0):
-    """Expand per-row (enter, emit) into b2e maps + QC, per read."""
-    b2e_start = np.full((B, K0), -1, np.int32)
-    b2e_stop = np.full((B, K0), -1, np.int32)
-    avg_em = np.zeros(B, np.float32)
-    spanned = np.zeros(B, bool)
-    max_gap = np.zeros(B, np.int32)
-    events_per_base = np.zeros(B, np.float32)
-    n_pairs = np.zeros(B, np.int32)
-    failed = np.ones(B, bool)
-
-    for b in range(B):
-        if not best_ok[b]:
-            continue
-        T = int(n_events[b])
-        ent = enter_k[:T, b]
-        emt = emit_k[:T, b]
-        rows = np.nonzero(ent >= 0)[0]
-        if rows.size == 0:
-            continue
-        ent_r = ent[rows].astype(np.int64)
-        emt_r = emt[rows].astype(np.int64)
-        term = emt_r == -2
-        lo = np.where(term, 0, emt_r)
-        hi = ent_r
-        gaps = np.where(term, hi + 1, hi - lo).astype(np.int32)
-        mg = int(gaps.max()) if gaps.size else 0
-
-        counts = (hi - lo + 1).astype(np.int64)
-        tot = int(counts.sum())
-        t_rep = np.repeat(rows, counts)
-        k_pairs = (np.arange(tot) - np.repeat(
-            np.cumsum(counts) - counts, counts) + np.repeat(lo, counts))
-        lev = event_mean[b, t_rep]
-        aa = (lev - mu[b, k_pairs]) / sigma[b, k_pairs]
-        em = (LOG_INV_SQRT_2PI - log_sigma[b, k_pairs]) - 0.5 * aa * aa
-        sum_em = float(em.sum())
-        avg = sum_em / max(tot, 1)
-
-        sp = (int(lo[0]) == 0) and (int(hi[-1]) == int(n_kmers[b]) - 1)
-
-        avg_em[b] = avg
-        spanned[b] = sp
-        max_gap[b] = mg
-        n_pairs[b] = tot
-        events_per_base[b] = (int(rows[-1]) - int(rows[0])) / max(int(n_kmers[b]), 1)
-        fail = (avg < MIN_AVG_LOG_EMISSION) or (not sp) or \
-            (mg > MAX_GAP_THRESHOLD) or tot == 0
-        failed[b] = fail
-        if fail:
-            continue
-
-        # b2e from the first-occurrence-of-event pairs: the D/U emit of each
-        # row; terminal trim rows emit at kmer 0 (first pair of the chain)
-        kidx = np.where(term, 0, emt_r)
-        starts = np.full(K0, np.iinfo(np.int64).max, np.int64)
-        np.minimum.at(starts, kidx, rows)
-        stops = np.full(K0, -1, np.int64)
-        np.maximum.at(stops, kidx, rows)
-        got = stops >= 0
-        b2e_start[b] = np.where(got, starts, -1).astype(np.int32)
-        b2e_stop[b] = np.where(got, stops, -1).astype(np.int32)
-
-    return PallasBandedResult(
-        b2e_start=b2e_start, b2e_stop=b2e_stop, failed=failed,
-        avg_log_emission=avg_em, spanned=spanned, max_gap=max_gap,
-        events_per_base=events_per_base, n_pairs=n_pairs)
+    res = _banded_align_device(ev, a_tab, b2_tab, c0_tab, nev, nk,
+                               lp_stay, lp_step, K0, interpret=interpret)
+    if Bp != B:
+        res = PallasBandedResult(*(v[:B] for v in res))
+    return res
