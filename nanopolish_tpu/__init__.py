@@ -12,6 +12,14 @@ Subcommands (CLI parity with the reference binary):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# The DP kernels compile slowly (remote-attached TPUs compile out of
+# process); cache executables across runs unless the user configured
+# their own cache.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/npt_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from .utils.alphabet import (  # noqa: F401
     ALPHABETS,
     DNA_ALPHABET,

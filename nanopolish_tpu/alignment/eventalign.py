@@ -264,7 +264,7 @@ def _make_job(read: SquiggleRead, record: BamRecord, strand: int,
     k = read.get_model_k(strand)
     ref_name = references[record.tid]
     ref_offset = record.pos
-    ref_seq = fai.fetch(ref_name, ref_offset, record.reference_end()).upper()
+    ref_seq = fai.fetch(ref_name, ref_offset, record.reference_end() + 1).upper()
     ref_seq = model.alphabet.disambiguate(ref_seq)
     rc_ref_seq = model.alphabet.reverse_complement(ref_seq)
 

@@ -1,0 +1,273 @@
+"""`call-methylation` subcommand: per-read methylation log-likelihood ratios.
+
+Rebuild of call_methylation_main / calculate_methylation_for_read
+(reference: src/nanopolish_call_methylation.cpp:591-630,726-756 and
+src/basemods/nanopolish_basemods.cpp:238-457) with reference-exact TSV
+output.
+
+TPU batching: every (read, strand, motif-group) produces two Forward
+scoring tasks (unmethylated + methylated sequence); all tasks of a BAM
+batch run as one padded batched HMM kernel call.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, TextIO, Tuple
+
+import numpy as np
+
+from ..alignment.records import (MAX_EVENT_TO_BP_RATIO, EventAlignmentRecord,
+                                 SequenceAlignmentRecord, find_by_ref_bounds)
+from ..alignment.segments import HMMSegment, forward_segments, make_segment
+from ..io.fasta import FastaIndex
+from ..io.readdb import ReadDB
+from ..models.hmm_input import HMMInputSequence
+from ..models.pore_model import PoreModelSet
+from ..models.read_builder import GLOBAL_READ_STATS
+from ..models.read_loader import load_squiggle_reads
+from ..ops.profile_hmm import HAF_ALLOW_PRE_CLIP, HAF_ALLOW_POST_CLIP
+from ..utils.alphabet import DNA_ALPHABET, get_alphabet_by_name
+from .bam_processor import BamBatchProcessor
+
+HMM_FLAGS = HAF_ALLOW_PRE_CLIP | HAF_ALLOW_POST_CLIP
+
+
+@dataclass
+class CallingParameters:
+    """basemods.h:68-80."""
+
+    methylation_type: str = "cpg"
+    min_separation: int = 10
+    min_flank: int = 10
+
+    @property
+    def alphabet(self):
+        return get_alphabet_by_name(self.methylation_type)
+
+
+@dataclass
+class ScoredSite:
+    """basemods.h:33-56."""
+
+    chromosome: str = ""
+    start_position: int = -1
+    end_position: int = -1
+    n_motif: int = 0
+    sequence: str = ""
+    ll_unmethylated: List[float] = field(default_factory=lambda: [0.0, 0.0])
+    ll_methylated: List[float] = field(default_factory=lambda: [0.0, 0.0])
+    strands_scored: int = 0
+
+
+def motif_groups(motif_sites: List[int], min_separation: int
+                 ) -> List[Tuple[int, int]]:
+    """basemods.cpp:306-320."""
+    groups = []
+    curr = 0
+    n = len(motif_sites)
+    while curr < n:
+        end = curr + 1
+        while end < n:
+            if motif_sites[end] - motif_sites[end - 1] > min_separation:
+                break
+            end += 1
+        groups.append((curr, end))
+        curr = end
+    return groups
+
+
+def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
+                       region_start, region_end):
+    """Per-read task generation (basemods.cpp:273-380).  Returns
+    (segments, metas): two HMMSegments (unmeth, meth) per scored group."""
+    segments: List[HMMSegment] = []
+    metas = []
+    alphabet = params.alphabet
+    for strand_idx in (0, 1):
+        if not sr.has_events_for_strand(strand_idx):
+            continue
+        k = sr.get_model_k(strand_idx)
+        pms = PoreModelSet.instance()
+        if not pms.has_model(sr.get_model_kit_name(strand_idx),
+                             params.methylation_type,
+                             sr.get_model_strand_name(strand_idx), k):
+            continue
+        meth_model = sr.get_model(strand_idx, params.methylation_type)
+
+        seq_record = SequenceAlignmentRecord.from_bam(record)
+        event_record = EventAlignmentRecord.build(sr, strand_idx, seq_record)
+        if event_record.aligned_events.shape[0] == 0:
+            continue
+
+        motif_sites = [i for i in range(len(ref_seq) - 1)
+                       if alphabet.is_motif_match(ref_seq, i)]
+        for start_idx, end_idx in motif_groups(motif_sites,
+                                               params.min_separation):
+            sub_start_pos = motif_sites[start_idx] - params.min_flank
+            sub_end_pos = motif_sites[end_idx - 1] + params.min_flank
+            span = motif_sites[end_idx - 1] - motif_sites[start_idx]
+            if sub_start_pos <= params.min_separation or span > 200:
+                continue
+            if sub_end_pos >= len(ref_seq):
+                continue
+            subseq = ref_seq[sub_start_pos:sub_end_pos + 1]
+            rc_subseq = alphabet.reverse_complement(subseq)
+            calling_start = sub_start_pos + ref_start_pos
+            calling_end = sub_end_pos + ref_start_pos
+
+            bounds = find_by_ref_bounds(event_record.aligned_events,
+                                        calling_start, calling_end)
+            if bounds is None:
+                continue
+            e1, e2 = bounds
+            if abs(e2 - e1) <= 10 or \
+                    abs(e2 - e1) / max(calling_end - calling_start, 1) \
+                    > MAX_EVENT_TO_BP_RATIO:
+                continue
+
+            start_position = motif_sites[start_idx] + ref_start_pos
+            end_position = motif_sites[end_idx - 1] + ref_start_pos
+            if (region_start != -1 and start_position < region_start) or \
+               (region_end != -1 and end_position >= region_end):
+                continue
+
+            unmeth = HMMInputSequence(subseq, rc_subseq, alphabet)
+            m_subseq = alphabet.methylate(subseq)
+            meth = HMMInputSequence(m_subseq,
+                                    alphabet.reverse_complement(m_subseq),
+                                    alphabet)
+            rc = event_record.rc
+            for hs in (unmeth, meth):
+                ranks = hs.kmer_ranks(k, rc)
+                segments.append(make_segment(sr, strand_idx, ranks, e1, e2,
+                                             model=meth_model,
+                                             flags=HMM_FLAGS))
+            site_output_start = motif_sites[start_idx] - k + 1
+            site_output_end = motif_sites[end_idx - 1] + k
+            metas.append({
+                "strand_idx": strand_idx,
+                "start_position": start_position,
+                "end_position": end_position,
+                "n_motif": end_idx - start_idx,
+                "sequence": ref_seq[site_output_start:site_output_end],
+            })
+    return segments, metas
+
+
+def score_batch(tasks) -> None:
+    """Score all collected segments in one padded kernel sweep and fill
+    each read's site_score_map."""
+    all_segments: List[HMMSegment] = []
+    index = []
+    for t in tasks:
+        for mi, m in enumerate(t["metas"]):
+            index.append((t, mi))
+        all_segments.extend(t["segments"])
+    if not all_segments:
+        return
+    scores = forward_segments(all_segments)
+    si = 0
+    for (t, mi) in index:
+        m = t["metas"][mi]
+        unmeth_score = float(scores[si])
+        meth_score = float(scores[si + 1])
+        si += 2
+        smap: Dict[int, ScoredSite] = t["site_score_map"]
+        pos = m["start_position"]
+        ss = smap.get(pos)
+        if ss is None:
+            ss = ScoredSite(chromosome=t["contig"], start_position=pos,
+                            end_position=m["end_position"],
+                            n_motif=m["n_motif"], sequence=m["sequence"])
+            smap[pos] = ss
+        ss.ll_unmethylated[m["strand_idx"]] = unmeth_score
+        ss.ll_methylated[m["strand_idx"]] = meth_score
+        ss.strands_scored += 1
+
+
+def write_site_header(fp: TextIO):
+    fp.write("chromosome\tstrand\tstart\tend\tread_name\t"
+             "log_lik_ratio\tlog_lik_methylated\tlog_lik_unmethylated\t"
+             "num_calling_strands\tnum_motifs\tsequence\n")
+
+
+def write_read_sites(fp: TextIO, record, site_score_map):
+    """call_methylation.cpp:532-550 with identical formats."""
+    orientation = "-" if record.is_reverse else "+"
+    for pos in sorted(site_score_map):
+        ss = site_score_map[pos]
+        sum_ll_m = ss.ll_methylated[0] + ss.ll_methylated[1]
+        sum_ll_u = ss.ll_unmethylated[0] + ss.ll_unmethylated[1]
+        diff = sum_ll_m - sum_ll_u
+        fp.write(f"{ss.chromosome}\t{orientation}\t{ss.start_position}\t"
+                 f"{ss.end_position}\t")
+        fp.write(f"{record.qname}\t{diff:.2f}\t")
+        fp.write(f"{sum_ll_m:.2f}\t{sum_ll_u:.2f}\t")
+        fp.write(f"{ss.strands_scored}\t{ss.n_motif}\t{ss.sequence}\n")
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nanopolish_tpu call-methylation",
+        description="classify nucleotides as methylated or not")
+    p.add_argument("-r", "--reads", required=True)
+    p.add_argument("-b", "--bam", required=True)
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-q", "--methylation", default="cpg")
+    p.add_argument("-w", "--window", default="")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-K", "--batchsize", type=int, default=512)
+    p.add_argument("--min-mapping-quality", type=int, default=20)
+    p.add_argument("--min-separation", type=int, default=10)
+    p.add_argument("--min-flank", type=int, default=10)
+    p.add_argument("--models-fofn", default="")
+    p.add_argument("--max-reads", type=int, default=None)
+    return p
+
+
+def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
+    opt = make_parser().parse_args(argv)
+    out = stdout if stdout is not None else sys.stdout
+    if opt.models_fofn:
+        PoreModelSet.instance().initialize(opt.models_fofn)
+    params = CallingParameters(methylation_type=opt.methylation,
+                               min_separation=opt.min_separation,
+                               min_flank=opt.min_flank)
+
+    read_db = ReadDB()
+    read_db.load(opt.reads)
+    fai = FastaIndex(opt.genome)
+    proc = BamBatchProcessor(opt.bam, region=opt.window,
+                             batch_size=opt.batchsize,
+                             min_mapping_quality=opt.min_mapping_quality,
+                             max_reads=opt.max_reads)
+    region_start = proc.clip_start if opt.window else -1
+    region_end = proc.clip_end if (opt.window and proc.clip_end >= 0) else -1
+
+    write_site_header(out)
+    for batch in proc.batches():
+        names = sorted({rec.qname for _, rec in batch})
+        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS)
+        tasks = []
+        for read_idx, rec in batch:
+            sr = reads.get(rec.qname)
+            if sr is None:
+                continue
+            contig = proc.references[rec.tid]
+            ref_seq = fai.fetch(contig, rec.pos,
+                                rec.reference_end() + 1).upper()
+            ref_seq = DNA_ALPHABET.disambiguate(ref_seq)
+            segments, metas = collect_read_tasks(
+                sr, rec, ref_seq, rec.pos, params, region_start, region_end)
+            tasks.append({"record": rec, "contig": contig,
+                          "segments": segments, "metas": metas,
+                          "site_score_map": {}})
+        score_batch(tasks)
+        # ordered output per batch (BamProcessor batch_func semantics)
+        for t in tasks:
+            write_read_sites(out, t["record"], t["site_score_map"])
+    proc.close()
+    return 0

@@ -23,6 +23,23 @@ import numpy as np
 from ..ops import event_detect
 from ..ops.banded_align import banded_align_batch
 from ..ops.scaling import estimate_scalings_mom, mstate_events_batch, recalibrate
+
+
+def _banded_align(ev_mean, n_events, mu, sigma, log_sigma, n_kmers):
+    """Pick the banded-align backend: the Pallas kernels on TPU, the exact
+    lax.scan implementation elsewhere (or when NPT_BANDED_IMPL=scan)."""
+    import os
+
+    import jax
+
+    impl = os.environ.get("NPT_BANDED_IMPL", "auto")
+    if impl != "scan" and (impl == "pallas"
+                           or jax.default_backend() in ("tpu", "axon")):
+        from ..ops.pallas_banded import banded_align_pallas
+        return banded_align_pallas(ev_mean, n_events, mu, sigma, log_sigma,
+                                   n_kmers)
+    return banded_align_batch(ev_mean, n_events, mu, sigma, log_sigma,
+                              n_kmers)
 from .pore_model import PoreModel, PoreModelSet
 from .squiggle import (
     MAX_EVENTS_PER_BASE,
@@ -207,7 +224,7 @@ def _process_chunk(chunk, results, stats: ReadStats):
     sigma = lvl_stdv
     log_sigma = np.log(sigma)
 
-    res = banded_align_batch(ev_mean, n_events, mu, sigma, log_sigma, n_kmers)
+    res = _banded_align(ev_mean, n_events, mu, sigma, log_sigma, n_kmers)
     b2e_start = np.asarray(res.b2e_start)
     b2e_stop = np.asarray(res.b2e_stop)
     failed_align = np.asarray(res.failed)

@@ -1,0 +1,120 @@
+"""End-to-end call-methylation: reads with signal drawn from the
+methylated (cpg) vs unmethylated (nucleotide) pore models must separate by
+log-likelihood ratio (the reference quickstart's expected-output model;
+reference: docs/source/quickstart_call_methylation.rst)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from nanopolish_tpu.apps import call_methylation as cm_app
+from nanopolish_tpu.apps import index as index_app
+from nanopolish_tpu.io.bam import BamRecord, BamWriter
+from nanopolish_tpu.io.slow5 import Slow5Writer
+from nanopolish_tpu.models.pore_model import PoreModelSet
+from nanopolish_tpu.models.squiggle import SquiggleScalings
+from nanopolish_tpu.utils.alphabet import DNA_ALPHABET, METHYL_CPG_ALPHABET
+from nanopolish_tpu.utils.synthetic import random_sequence, synthetic_raw_signal
+
+READ_LEN = 450
+GENOME_LEN = 2000
+
+
+@pytest.fixture(scope="module")
+def meth_pipeline(tmp_path_factory):
+    d = tmp_path_factory.mktemp("meth_e2e")
+    rng = np.random.default_rng(11)
+    pms = PoreModelSet.instance()
+    nuc_model = pms.get_model("r9.4_450bps", "nucleotide", "template", 6)
+    cpg_model = pms.get_model("r9.4_450bps", "cpg", "template", 6)
+
+    genome = random_sequence(rng, GENOME_LEN)
+    ref_fa = str(d / "ref.fa")
+    with open(ref_fa, "w") as fh:
+        fh.write(">tig1\n")
+        for i in range(0, GENOME_LEN, 60):
+            fh.write(genome[i:i + 60] + "\n")
+
+    # reads: (name, pos, is_rev, methylated?)
+    plan = [("m0", 100, False, True), ("m1", 700, True, True),
+            ("u0", 400, False, False), ("u1", 1100, True, False)]
+    fastq = str(d / "reads.fastq")
+    slow5 = str(d / "sig.slow5")
+    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+        for name, pos, is_rev, is_meth in plan:
+            seg = genome[pos:pos + READ_LEN]
+            basecall = DNA_ALPHABET.reverse_complement(seg) if is_rev else seg
+            fq.write(f"@{name}\n{basecall}\n+\n{'I' * READ_LEN}\n")
+            sc = SquiggleScalings.from4(0.0, 1.0, 0.0, 1.0)
+            if is_meth:
+                # true signal drawn from the methylated model over the
+                # CpG-methylated sequence
+                sig_seq = METHYL_CPG_ALPHABET.methylate(basecall)
+                pa = synthetic_raw_signal(rng, sig_seq, cpg_model, sc,
+                                          samples_per_base=10.0, leader=500,
+                                          trailer=100)
+            else:
+                pa = synthetic_raw_signal(rng, basecall, nuc_model, sc,
+                                          samples_per_base=10.0, leader=500,
+                                          trailer=100)
+            adc = np.clip(pa * 8192.0 / 1400.0, -32000, 32000).astype(np.int16)
+            sw.write(name, adc, 8192.0, 0.0, 1400.0, 4000.0)
+
+    index_app.main([fastq, "--slow5", slow5])
+
+    bam = str(d / "aln.bam")
+    w = BamWriter(bam, "@HD\tVN:1.6\tSO:coordinate\n", ["tig1"], [GENOME_LEN])
+    for name, pos, is_rev, _ in sorted(plan, key=lambda t: t[1]):
+        seg = genome[pos:pos + READ_LEN]
+        w.write(BamRecord(qname=name, flag=16 if is_rev else 0, tid=0,
+                          pos=pos, mapq=60, cigar=[(0, READ_LEN)], seq=seg,
+                          qual=np.full(READ_LEN, 30, np.uint8)))
+    w.close()
+    return {"fastq": fastq, "bam": bam, "ref_fa": ref_fa, "genome": genome}
+
+
+def test_call_methylation_tsv(meth_pipeline):
+    p = meth_pipeline
+    out = io.StringIO()
+    cm_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"],
+                 "-q", "cpg"], stdout=out)
+    lines = out.getvalue().splitlines()
+    assert lines[0] == ("chromosome\tstrand\tstart\tend\tread_name\t"
+                        "log_lik_ratio\tlog_lik_methylated\t"
+                        "log_lik_unmethylated\tnum_calling_strands\t"
+                        "num_motifs\tsequence")
+    rows = [l.split("\t") for l in lines[1:]]
+    assert len(rows) > 8
+    per_read = {}
+    genome = p["genome"]
+    for f in rows:
+        chrom, strand, start, end, name = f[0], f[1], int(f[2]), int(f[3]), f[4]
+        llr = float(f[5])
+        n_motif = int(f[9])
+        seqctx = f[10]
+        assert chrom == "tig1"
+        assert strand in "+-"
+        assert genome[start:start + 2] == "CG"
+        assert end >= start
+        assert n_motif >= 1
+        assert "CG" in seqctx
+        per_read.setdefault(name, []).append(llr)
+    # methylated reads must skew positive, unmethylated negative
+    for name, llrs in per_read.items():
+        mean = float(np.mean(llrs))
+        if name.startswith("m"):
+            assert mean > 0.5, (name, mean)
+        else:
+            assert mean < -0.5, (name, mean)
+    assert {n[0] for n in per_read} == {"m", "u"}
+
+
+def test_call_methylation_window(meth_pipeline):
+    p = meth_pipeline
+    out = io.StringIO()
+    cm_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"],
+                 "-w", "tig1:1-800"], stdout=out)
+    rows = [l.split("\t") for l in out.getvalue().splitlines()[1:]]
+    assert rows
+    assert all(int(f[2]) <= 800 for f in rows)
