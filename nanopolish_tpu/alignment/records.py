@@ -27,6 +27,7 @@ class SequenceAlignmentRecord:
     read_name: str
     rc: bool
     aligned_bases: np.ndarray      # [n, 2] int64 of (ref_pos, read_pos)
+    sequence: str = ""             # read bases (BAM orientation)
 
     @classmethod
     def from_bam(cls, record: BamRecord) -> "SequenceAlignmentRecord":
@@ -45,6 +46,8 @@ class EventAlignmentRecord:
     aligned_events: np.ndarray     # [n, 2] int64 of (ref_pos, event_idx)
     rc: bool = False
     stride: int = 1
+    strand: int = 0
+    sr: object = None              # owning SquiggleRead
 
     @classmethod
     def build(cls, sr: SquiggleRead, strand_idx: int,
@@ -68,7 +71,8 @@ class EventAlignmentRecord:
             stride = 1 if aligned[0, 1] < aligned[-1, 1] else -1
             if aligned[0, 1] == aligned[-1, 1]:    # degenerate
                 aligned = aligned[:0]
-        return cls(aligned_events=aligned, rc=rc, stride=stride)
+        return cls(aligned_events=aligned, rc=rc, stride=stride,
+                   strand=strand_idx, sr=sr)
 
 
 def closest_event_table(sr: SquiggleRead, strand_idx: int) -> np.ndarray:

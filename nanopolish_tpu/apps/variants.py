@@ -1,0 +1,616 @@
+"""`variants` / `variants --consensus` subcommand: window-based variant
+calling and assembly polishing.
+
+Rebuild of src/nanopolish_call_variants.cpp (pipeline
+call_variants_for_region :882-1011, candidate generation :288-361,
+screening :364-402, expansion :406-450, haplotype calling :782-880) and
+src/common/nanopolish_variant.cpp (score_variant_group :182-262,
+simple_call :279-493, score_variant_thresholded :765-799).
+
+TPU batching: every phase pools its (sequence-set x read-events) Forward
+scoring tasks into one padded device sweep.  The reference's per-variant
+early-exit threshold is unnecessary here (we score everything batched),
+so screening qualities are exact rather than truncated — decisions
+(quality > 0) are unchanged for variants the reference would accept.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from typing import Dict, List, Optional, Sequence, TextIO, Tuple
+
+import numpy as np
+
+from ..alignment.alignment_db import AlignmentDB, EventSequence
+from ..alignment.segments import HMMSegment, forward_segments, make_segment
+from ..io.vcf import DEFAULT_INFO_FIELDS, Variant, VcfReader, VcfWriter
+from ..models.haplotype import Haplotype
+from ..models.hmm_input import HMMInputSequence
+from ..models.pore_model import PoreModelSet
+from ..models.variant_db import (CO_WITH_REPLACEMENT, VariantDB, VariantGroup,
+                                 combinations, nchoosek)
+from ..ops.profile_hmm import HAF_ALLOW_PRE_CLIP, HAF_ALLOW_POST_CLIP
+from ..utils.alphabet import get_alphabet_by_name
+from .bam_processor import parse_region
+
+ALIGNMENT_FLAGS = HAF_ALLOW_PRE_CLIP | HAF_ALLOW_POST_CLIP
+
+
+class Opts:
+    """Defaults from nanopolish_call_variants.cpp:106-140."""
+
+    min_candidate_frequency = 0.2
+    min_candidate_depth = 20
+    min_distance_between_variants = 10
+    min_flanking_sequence = 30
+    max_haplotypes = 1000
+    max_rounds = 50
+    screen_score_threshold = 100
+    screen_flanking_sequence = 10
+    ploidy = 2
+    consensus_mode = False
+    genotype_only = False
+    snps_only = False
+    methylation_types: List[str] = []
+
+
+# ---------------------------------------------------------------------------
+# batched scoring primitives
+# ---------------------------------------------------------------------------
+
+def generate_methylated_alternatives(sequence: str,
+                                     methylation_types: Sequence[str]
+                                     ) -> List[HMMInputSequence]:
+    """nanopolish_variant.cpp:161-178."""
+    out = [HMMInputSequence(sequence)]
+    for mt in methylation_types:
+        alphabet = get_alphabet_by_name(mt)
+        methylated = alphabet.methylate(sequence)
+        if methylated != sequence:
+            out.append(HMMInputSequence(methylated, alphabet=alphabet))
+    return out
+
+
+class ScoreBatcher:
+    """Pools (sequence-set, event-range) scoring units; flush() runs one
+    padded device sweep and resolves every unit to its
+    profile_hmm_score_set value (log-mean over alternative sequences,
+    profile_hmm.cpp:32-56)."""
+
+    def __init__(self):
+        self._segments: List[HMMSegment] = []
+        self._units: List[Tuple[int, int]] = []   # (start, count) into segments
+        self._results: Optional[np.ndarray] = None
+
+    def add(self, sequences: List[HMMInputSequence], data: EventSequence) -> int:
+        start = len(self._segments)
+        for hs in sequences:
+            model = data.sr.get_model(data.strand, hs.alphabet.name) \
+                if hs.alphabet.name != "nucleotide" \
+                else data.sr.base_model[data.strand]
+            k = model.k
+            ranks = hs.kmer_ranks(k, data.rc)
+            self._segments.append(make_segment(
+                data.sr, data.strand, ranks, data.event_start_idx,
+                data.event_stop_idx, model=model, flags=ALIGNMENT_FLAGS))
+        self._units.append((start, len(sequences)))
+        return len(self._units) - 1
+
+    def flush(self):
+        scores = forward_segments(self._segments) if self._segments else \
+            np.zeros(0, np.float32)
+        out = np.zeros(len(self._units), np.float64)
+        for i, (start, count) in enumerate(self._units):
+            vals = scores[start:start + count].astype(np.float64)
+            m = vals.max()
+            out[i] = m + math.log(np.exp(vals - m).sum()) - math.log(count)
+        self._results = out
+
+    def get(self, unit_idx: int) -> float:
+        return float(self._results[unit_idx])
+
+
+def score_variants_batched(variant_jobs, methylation_types) -> List[float]:
+    """Each job: (base_haplotype, variant, event_sequences).  Returns the
+    summed (variant - base) score over reads per job
+    (score_variant_thresholded semantics, without the early exit)."""
+    b = ScoreBatcher()
+    per_job_units = []
+    for base_hap, variant, events in variant_jobs:
+        var_hap = Haplotype(base_hap.ref_name, base_hap.ref_position,
+                            base_hap.get_reference())
+        var_hap.sequence = base_hap.sequence
+        var_hap.coordinate_map = list(base_hap.coordinate_map)
+        if not var_hap.apply_variant(variant):
+            per_job_units.append(None)
+            continue
+        base_seqs = generate_methylated_alternatives(
+            base_hap.get_sequence(), methylation_types)
+        var_seqs = generate_methylated_alternatives(
+            var_hap.get_sequence(), methylation_types)
+        units = [(b.add(base_seqs, ev), b.add(var_seqs, ev))
+                 for ev in events]
+        per_job_units.append(units)
+    b.flush()
+    out = []
+    for units in per_job_units:
+        if units is None:
+            out.append(float("-inf"))
+            continue
+        total = 0.0
+        for bu, vu in units:
+            total += b.get(vu) - b.get(bu)
+        out.append(total)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# candidate generation / screening / expansion
+# ---------------------------------------------------------------------------
+
+def generate_candidate_single_base_edits(alignments: AlignmentDB,
+                                         region_start: int, region_end: int,
+                                         opts: Opts) -> List[Variant]:
+    """call_variants.cpp:288-361."""
+    contig = alignments.get_region_contig()
+    jobs = []
+    for i in range(region_start, region_end):
+        calling_start = i - opts.screen_flanking_sequence
+        calling_end = i + 1 + opts.screen_flanking_sequence
+        if not alignments.are_coordinates_valid(contig, calling_start,
+                                                calling_end):
+            continue
+        ref_base = alignments.get_reference_substring(contig, i, i)
+        tmp = []
+        for j in "ACGT":
+            v = Variant(ref_name=contig, ref_position=i, ref_seq=ref_base,
+                        alt_seq=j)
+            if v.ref_seq != v.alt_seq:
+                tmp.append(v)
+            ins = Variant(ref_name=contig, ref_position=i, ref_seq=ref_base,
+                          alt_seq=ref_base + j)
+            if ins.alt_seq[1] != ins.ref_seq[0]:
+                tmp.append(ins)
+        del_ref = alignments.get_reference_substring(contig, i - 1, i)
+        dele = Variant(ref_name=contig, ref_position=i - 1, ref_seq=del_ref,
+                       alt_seq=del_ref[0])
+        if dele.alt_seq[0] != dele.ref_seq[1]:
+            tmp.append(dele)
+
+        events = alignments.get_event_subsequences(contig, calling_start,
+                                                   calling_end)
+        hap = Haplotype(contig, calling_start,
+                        alignments.get_reference_substring(
+                            contig, calling_start, calling_end))
+        for v in tmp:
+            jobs.append((hap, v, events))
+    scores = score_variants_batched(jobs, opts.methylation_types)
+    out = []
+    for (hap, v, events), q in zip(jobs, scores):
+        if q > 0:
+            sv = Variant(ref_name=v.ref_name, ref_position=v.ref_position,
+                         ref_seq=v.ref_seq, alt_seq=v.alt_seq, quality=q)
+            out.append(sv)
+    return out
+
+
+def screen_variants_by_score(alignments: AlignmentDB,
+                             candidate_variants: List[Variant],
+                             opts: Opts) -> List[Variant]:
+    """call_variants.cpp:364-402."""
+    contig = alignments.get_region_contig()
+    jobs = []
+    kept = []
+    for v in candidate_variants:
+        calling_start = v.ref_position - opts.screen_flanking_sequence
+        calling_end = v.ref_position + len(v.ref_seq) + \
+            opts.screen_flanking_sequence
+        if not alignments.are_coordinates_valid(contig, calling_start,
+                                                calling_end):
+            continue
+        hap = Haplotype(contig, calling_start,
+                        alignments.get_reference_substring(
+                            contig, calling_start, calling_end))
+        events = alignments.get_event_subsequences(contig, calling_start,
+                                                   calling_end)
+        jobs.append((hap, v, events))
+        kept.append(v)
+    scores = score_variants_batched(jobs, opts.methylation_types)
+    out = []
+    for v, q in zip(kept, scores):
+        if q > 0:
+            sv = Variant(ref_name=v.ref_name, ref_position=v.ref_position,
+                         ref_seq=v.ref_seq, alt_seq=v.alt_seq, quality=q)
+            out.append(sv)
+    return out
+
+
+def expand_variants(alignments: AlignmentDB,
+                    candidate_variants: List[Variant],
+                    opts: Opts) -> List[Variant]:
+    """call_variants.cpp:406-450."""
+    out = []
+    for v in candidate_variants:
+        out.append(v)
+        if len(v.ref_seq) == 1 and len(v.alt_seq) == 1:
+            continue
+        deletion_end = v.ref_position + len(v.ref_seq)
+        if alignments.are_coordinates_valid(v.ref_name, v.ref_position,
+                                            deletion_end) and \
+                alignments.get_region_end() - deletion_end > \
+                opts.min_flanking_sequence:
+            d = Variant(ref_name=v.ref_name, ref_position=v.ref_position,
+                        ref_seq=alignments.get_reference_substring(
+                            v.ref_name, v.ref_position, deletion_end),
+                        alt_seq=v.alt_seq)
+            out.append(d)
+        for j in "ACGT":
+            out.append(Variant(ref_name=v.ref_name,
+                               ref_position=v.ref_position,
+                               ref_seq=v.ref_seq, alt_seq=v.alt_seq + j))
+    return out
+
+
+def dedup_sorted(variants: List[Variant]) -> List[Variant]:
+    seen = {}
+    for v in variants:
+        seen.setdefault(v.key(), v)
+    out = list(seen.values())
+    out.sort(key=lambda v: (v.ref_position, v.ref_seq, v.alt_seq))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# group scoring + genotyping
+# ---------------------------------------------------------------------------
+
+def score_variant_group(group: VariantGroup, base_haplotype: Haplotype,
+                        events: List[EventSequence], opts: Opts):
+    """nanopolish_variant.cpp:182-262, batched over
+    (haplotype-combination x read)."""
+    num_variants = group.get_num_variants()
+    sum_h = 0
+    max_r = 1
+    while max_r <= num_variants:
+        n_r = nchoosek(num_variants, max_r)
+        if n_r + sum_h < opts.max_haplotypes:
+            sum_h += n_r
+        else:
+            break
+        max_r += 1
+    max_r -= 1
+    if max_r != num_variants:
+        print(f"Number of variants in span ({num_variants}) would exceed "
+              "max-haplotypes. Variants may be missed. Consider running with "
+              "a higher value of max-haplotypes!", file=sys.stderr)
+
+    haplotypes: List[Tuple[Haplotype, int]] = []
+    for r in range(0, max_r + 1):
+        for vc in combinations(num_variants, r):
+            hap = Haplotype(base_haplotype.ref_name,
+                            base_haplotype.ref_position,
+                            base_haplotype.get_reference())
+            hap.sequence = base_haplotype.sequence
+            hap.coordinate_map = list(base_haplotype.coordinate_map)
+            if hap.apply_variants(group.get_variants(vc)):
+                vc_idx = group.add_combination(vc)
+                haplotypes.append((hap, vc_idx))
+
+    read_ids = []
+    for ev in events:
+        rid = f"{ev.sr.read_name}:{ev.strand}"
+        read_ids.append(rid)
+        group.set_read_strand(rid, ev.rc)
+
+    b = ScoreBatcher()
+    units = []
+    for ri, ev in enumerate(events):
+        for hap, vc_idx in haplotypes:
+            seqs = generate_methylated_alternatives(hap.get_sequence(),
+                                                    opts.methylation_types)
+            units.append((vc_idx, read_ids[ri], b.add(seqs, ev)))
+    b.flush()
+    for vc_idx, rid, u in units:
+        group.set_combination_read_score(vc_idx, rid, b.get(u))
+
+
+def make_genotype(alt_count: int, ploidy: int) -> str:
+    """nanopolish_variant.cpp:149-158 (refs first, then alts)."""
+    return "/".join(["0"] * (ploidy - alt_count) + ["1"] * alt_count)
+
+
+def calculate_sor(ref_fwd, ref_rev, alt_fwd, alt_rev) -> float:
+    """nanopolish_variant.cpp:264-277."""
+    ref_fwd += 1
+    ref_rev += 1
+    alt_fwd += 1
+    alt_rev += 1
+    r = (ref_fwd * alt_rev) / (alt_fwd * ref_rev)
+    sym_ratio = r + 1.0 / r
+    ref_ratio = min(ref_fwd, ref_rev) / max(ref_fwd, ref_rev)
+    alt_ratio = min(alt_fwd, alt_rev) / max(alt_fwd, alt_rev)
+    return math.log(sym_ratio) + math.log(ref_ratio) - math.log(alt_ratio)
+
+
+def simple_call(group: VariantGroup, ploidy: int,
+                genotype_all_input_variants: bool) -> List[Variant]:
+    """nanopolish_variant.cpp:279-493."""
+    log_2 = math.log(2)
+    group_reads = group.get_read_sum_scores()
+    n_combos = group.get_num_combinations()
+    if n_combos <= 1:
+        return []
+
+    base_score = float("-inf")
+    best_score = float("-inf")
+    best_set: List[int] = []
+    base_set: List[int] = []
+    for current_set in combinations(n_combos, ploidy, CO_WITH_REPLACEMENT):
+        is_base_set = all(
+            len(group.get_variants(group.get_combination(ci))) == 0
+            for ci in current_set)
+        set_score = 0.0
+        for read_id, read_sum in group_reads:
+            set_sum = float("-inf")
+            for ci in current_set:
+                rhs = group.get_combination_read_score(ci, read_id)
+                set_sum = np.logaddexp(set_sum, rhs - log_2)
+            set_score += set_sum
+        if is_base_set:
+            base_score = set_score
+            base_set = current_set
+        if set_score > best_score:
+            best_score = set_score
+            best_set = current_set
+
+    if best_score - base_score < 20:
+        best_set = base_set
+
+    total_variants = group.get_num_variants()
+    read_variant_assignment = np.zeros((len(group_reads), total_variants))
+    read_variant_support = np.zeros(total_variants)
+    for ci in range(n_combos):
+        vc = group.get_combination(ci)
+        for ri, (read_id, read_sum) in enumerate(group_reads):
+            score = group.get_combination_read_score(ci, read_id)
+            posterior = math.exp(min(score - read_sum, 0.0))
+            for var_id in vc:
+                read_variant_assignment[ri, var_id] += posterior
+                read_variant_support[var_id] += posterior
+
+    allele_strand_support = np.zeros((total_variants, 4))
+    for vi in range(total_variants):
+        for ri, (read_id, _) in enumerate(group_reads):
+            strand = int(group.is_read_rc(read_id))
+            pp_alt = read_variant_assignment[ri, vi]
+            allele_strand_support[vi, 0 + strand] += 1 - pp_alt
+            allele_strand_support[vi, 2 + strand] += pp_alt
+
+    out = []
+    for vi in range(total_variants):
+        var_count = sum(
+            sum(1 for k in group.get_combination(ci) if k == vi)
+            for ci in best_set)
+        if not (genotype_all_input_variants or var_count > 0):
+            continue
+        v = group.get(vi)
+        v = Variant(ref_name=v.ref_name, ref_position=v.ref_position,
+                    ref_seq=v.ref_seq, alt_seq=v.alt_seq)
+        v.quality = best_score - base_score if var_count > 0 else 0.0
+        v.add_info("TotalReads", len(group_reads))
+        v.add_info("AlleleCount", var_count)
+        v.add_info("SupportFraction",
+                   read_variant_support[vi] / max(len(group_reads), 1))
+        ref_fwd, ref_rev, alt_fwd, alt_rev = allele_strand_support[vi]
+        sf_f = alt_fwd / (ref_fwd + alt_fwd) if ref_fwd + alt_fwd > 0 else 0
+        sf_r = alt_rev / (ref_rev + alt_rev) if ref_rev + alt_rev > 0 else 0
+        v.add_info("SupportFractionByStrand", f"{sf_f:g},{sf_r:g}")
+        v.add_info("StrandSupport",
+                   f"{round(ref_fwd)},{round(ref_rev)},"
+                   f"{round(alt_fwd)},{round(alt_rev)}")
+        from scipy.stats import fisher_exact
+        table = [[round(ref_fwd), round(ref_rev)],
+                 [round(alt_fwd), round(alt_rev)]]
+        try:
+            _, two = fisher_exact(table)
+        except ValueError:
+            two = 1.0
+        fisher_scaled = int(-4.343 * math.log(max(two, 1e-300)) + 0.499)
+        if fisher_scaled < 0:
+            fisher_scaled = 1000
+        v.add_info("StrandFisherTest", fisher_scaled)
+        v.add_info("SOR", calculate_sor(ref_fwd, ref_rev, alt_fwd, alt_rev))
+        v.genotype = make_genotype(var_count, ploidy) if group_reads else "."
+        out.append(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# region pipeline
+# ---------------------------------------------------------------------------
+
+def call_haplotype_from_candidates(alignments: AlignmentDB,
+                                   candidate_variants: List[Variant],
+                                   opts: Opts) -> Haplotype:
+    """call_variants.cpp:782-880."""
+    derived = Haplotype(alignments.get_region_contig(),
+                        alignments.get_region_start(),
+                        alignments.get_reference())
+    db = VariantDB()
+    group_spans = []
+    curr = 0
+    n = len(candidate_variants)
+    while curr < n:
+        end = curr + 1
+        while end < n:
+            d = candidate_variants[end].ref_position - \
+                candidate_variants[end - 1].ref_position
+            if d > opts.min_distance_between_variants:
+                break
+            end += 1
+        calling_start = candidate_variants[curr].ref_position - \
+            opts.min_flanking_sequence
+        calling_end = candidate_variants[end - 1].ref_position + \
+            len(candidate_variants[end - 1].ref_seq) + \
+            opts.min_flanking_sequence
+        if calling_end - calling_start <= 200:
+            calling_hap = derived.substr_by_reference(calling_start,
+                                                      calling_end)
+            events = alignments.get_event_subsequences(
+                alignments.get_region_contig(), calling_start, calling_end)
+            gid = db.add_new_group(candidate_variants[curr:end])
+            score_variant_group(db.get_group(gid), calling_hap, events, opts)
+        else:
+            print(f"Warning: {end - curr} variants in span, region not "
+                  f"called [{calling_start} {calling_end}]", file=sys.stderr)
+        curr = end
+
+    for gi in range(db.get_num_groups()):
+        called = simple_call(db.get_group(gi), opts.ploidy,
+                             opts.genotype_only)
+        for v in called:
+            derived.apply_variant(v)
+    return derived
+
+
+def call_variants_for_region(contig: str, region_start: int, region_end: int,
+                             alignments: AlignmentDB, opts: Opts,
+                             candidates: Optional[List[Variant]] = None
+                             ) -> Haplotype:
+    """call_variants.cpp:882-1011."""
+    BUFFER = opts.min_flanking_sequence + 10
+    if region_start < BUFFER:
+        region_start = BUFFER
+    alignments.load_region(contig, region_start - BUFFER, region_end + BUFFER)
+    region_end = alignments.get_region_end() - BUFFER
+
+    if candidates is None:
+        candidate_variants = alignments.get_variants_in_region(
+            contig, region_start, region_end, opts.min_candidate_frequency,
+            opts.min_candidate_depth)
+    else:
+        candidate_variants = [v for v in candidates
+                              if v.ref_name == contig
+                              and region_start <= v.ref_position <= region_end]
+
+    if opts.consensus_mode:
+        sbe = generate_candidate_single_base_edits(alignments, region_start,
+                                                   region_end, opts)
+        candidate_variants = dedup_sorted(candidate_variants + sbe)
+
+    called_haplotype = Haplotype(alignments.get_region_contig(),
+                                 alignments.get_region_start(),
+                                 alignments.get_reference())
+    if opts.consensus_mode:
+        last_keys: set = set()
+        for round_i in range(opts.max_rounds):
+            filtered = screen_variants_by_score(alignments,
+                                                candidate_variants, opts)
+            called_haplotype = call_haplotype_from_candidates(
+                alignments, filtered, opts)
+            called_variants = called_haplotype.get_variants()
+            this_keys = {v.key() for v in called_variants}
+            changed = this_keys != last_keys
+            last_keys = this_keys
+            if changed:
+                candidate_variants = expand_variants(alignments,
+                                                     called_variants, opts)
+            else:
+                break
+    else:
+        called_haplotype = call_haplotype_from_candidates(
+            alignments, candidate_variants, opts)
+    return called_haplotype
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nanopolish_tpu variants",
+                                description="find variants with respect to the reference")
+    p.add_argument("-r", "--reads", required=True)
+    p.add_argument("-b", "--bam", required=True)
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-w", "--window", required=True)
+    p.add_argument("-o", "--outfile", default="")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-m", "--min-candidate-frequency", type=float, default=0.2)
+    p.add_argument("-d", "--min-candidate-depth", type=int, default=20)
+    p.add_argument("-x", "--max-haplotypes", type=int, default=1000)
+    p.add_argument("-c", "--candidates", default="")
+    p.add_argument("-p", "--ploidy", type=int, default=2)
+    p.add_argument("-q", "--methylation-aware", default="")
+    p.add_argument("--genotype", default="")
+    p.add_argument("--consensus", action="store_true")
+    p.add_argument("--faster", action="store_true")
+    p.add_argument("--effort", type=int, default=None)
+    p.add_argument("--max-rounds", type=int, default=50)
+    p.add_argument("--min-flanking-sequence", type=int, default=30)
+    p.add_argument("--snps", action="store_true")
+    p.add_argument("--models-fofn", default="")
+    return p
+
+
+def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
+    opt = make_parser().parse_args(argv)
+    out = stdout if stdout is not None else sys.stdout
+    if opt.models_fofn:
+        PoreModelSet.instance().initialize(opt.models_fofn)
+
+    opts = Opts()
+    opts.min_candidate_frequency = opt.min_candidate_frequency
+    opts.min_candidate_depth = opt.min_candidate_depth
+    opts.max_haplotypes = opt.max_haplotypes
+    opts.ploidy = opt.ploidy
+    opts.consensus_mode = opt.consensus
+    opts.max_rounds = opt.max_rounds
+    opts.min_flanking_sequence = opt.min_flanking_sequence
+    opts.snps_only = opt.snps
+    if opt.faster:
+        opts.screen_score_threshold = 25
+    if opt.effort is not None:
+        opts.screen_score_threshold = opt.effort
+    if opt.methylation_aware:
+        opts.methylation_types = opt.methylation_aware.split(",")
+    if opt.consensus:
+        opts.ploidy = 1
+
+    candidates = None
+    if opt.genotype:
+        opts.genotype_only = True
+        candidates = VcfReader(opt.genotype).records()
+    elif opt.candidates:
+        candidates = VcfReader(opt.candidates).records()
+
+    # the polishing window is 0-based (nanopolish_makerange.py convention)
+    try:
+        contig, rng = opt.window.rsplit(":", 1)
+        start_base, end_base = (int(x.replace(",", ""))
+                                for x in rng.split("-"))
+    except ValueError:
+        raise SystemExit("variants requires a -w contig:start-end window")
+
+    alignments = AlignmentDB(opt.reads, opt.genome, opt.bam)
+    haplotype = call_variants_for_region(contig, start_base, end_base,
+                                         alignments, opts, candidates)
+
+    fp = open(opt.outfile, "w") if opt.outfile else out
+    writer = VcfWriter(fp, extra_header=[
+        f"##nanopolish_window={contig}:{start_base}-{end_base}"])
+    writer.write_header()
+    fai = alignments._fai
+    for v in haplotype.get_variants():
+        if opts.snps_only and not v.is_snp():
+            continue
+        context_start = max(0, v.ref_position - 5)
+        context_end = v.ref_position + len(v.ref_seq) + 5
+        v.add_info("RefContext", fai.fetch(v.ref_name, context_start,
+                                           context_end))
+        writer.write_variant(v)
+    if opt.outfile:
+        fp.close()
+    return 0
