@@ -30,6 +30,7 @@ SUBCOMMANDS = {
     "polya": _lazy("polya"),
     "detect-polyi": _lazy("detect_polyi"),
     "fast5-check": _lazy("fast5_check"),
+    "train-poremodel-from-basecalls": _lazy("train_poremodel_from_basecalls"),
 }
 
 

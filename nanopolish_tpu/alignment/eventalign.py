@@ -51,6 +51,7 @@ class _Job:
     record: BamRecord
     strand: int
     read_idx: int
+    model: object
     ref_name: str
     ref_offset: int
     ref_seq: str
@@ -82,7 +83,7 @@ def _start_segment(job: _Job) -> bool:
     """Initialize chain state for aligned segment seg_i; False if the whole
     job is finished."""
     read = job.read
-    k = read.get_model_k(job.strand)
+    k = job.model.k
     while job.seg_i < len(job.pair_segments):
         pairs = job.pair_segments[job.seg_i]
         if pairs.shape[0] == 0:
@@ -117,8 +118,8 @@ def _prepare(job: _Job) -> Optional[HMMSegment]:
     """Build the next HMM segment for this job, or None when finished.
     Mirrors the loop body of align_read_to_ref (eventalign.cpp:691-760)."""
     read = job.read
-    k = read.get_model_k(job.strand)
-    model = read.base_model[job.strand]
+    model = job.model
+    k = model.k
     while True:
         if job.done:
             return None
@@ -179,7 +180,7 @@ def _consume(job: _Job, result: Tuple[np.ndarray, np.ndarray, str]):
     """Apply one Viterbi result: emit alignments + advance the chain
     (eventalign.cpp:762-823)."""
     read = job.read
-    k = read.get_model_k(job.strand)
+    k = job.model.k
     evs, kms, states = result
     stride = 1 if job.curr_start_event <= job._event_stop else -1
 
@@ -227,13 +228,17 @@ def align_reads_to_ref(
     jobs_in: Sequence[Tuple[SquiggleRead, BamRecord, int, int]],
     fai, references: List[str],
     region_start: int = -1, region_end: int = -1,
+    alphabet: str = "",
 ) -> List[List[EventAlignment]]:
     """Align many (read, record, strand, read_idx) jobs via the segment
-    wavefront.  Returns one EventAlignment list per input job."""
+    wavefront.  Returns one EventAlignment list per input job.
+
+    `alphabet` selects an alternative pore model family (e.g. "cpg") as
+    EventAlignmentParameters.alphabet does (nanopolish_eventalign.h:33)."""
     jobs: List[Optional[_Job]] = []
     for read, record, strand, read_idx in jobs_in:
         job = _make_job(read, record, strand, read_idx, fai, references,
-                        region_start, region_end)
+                        region_start, region_end, alphabet)
         jobs.append(job)
 
     active = [j for j in jobs if j is not None and not j.done]
@@ -257,11 +262,13 @@ def align_reads_to_ref(
 
 def _make_job(read: SquiggleRead, record: BamRecord, strand: int,
               read_idx: int, fai, references: List[str],
-              region_start: int, region_end: int) -> Optional[_Job]:
+              region_start: int, region_end: int,
+              alphabet: str = "") -> Optional[_Job]:
     if record.is_unmapped or not read.has_events_for_strand(strand):
         return None
-    model = read.base_model[strand]
-    k = read.get_model_k(strand)
+    model = read.get_model(strand, alphabet) if alphabet \
+        else read.base_model[strand]
+    k = model.k
     ref_name = references[record.tid]
     ref_offset = record.pos
     ref_seq = fai.fetch(ref_name, ref_offset, record.reference_end() + 1).upper()
@@ -280,5 +287,6 @@ def _make_job(read: SquiggleRead, record: BamRecord, strand: int,
             break
         trimmed.append(pairs)
     return _Job(read=read, record=record, strand=strand, read_idx=read_idx,
-                ref_name=ref_name, ref_offset=ref_offset, ref_seq=ref_seq,
-                rc_ref_seq=rc_ref_seq, pair_segments=trimmed)
+                model=model, ref_name=ref_name, ref_offset=ref_offset,
+                ref_seq=ref_seq, rc_ref_seq=rc_ref_seq,
+                pair_segments=trimmed)

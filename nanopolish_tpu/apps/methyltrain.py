@@ -1,0 +1,246 @@
+"""`methyltrain` subcommand: train k-mer emission models (methylation or
+any alphabet).
+
+Rebuild of methyltrain_main / train_one_round / add_aligned_events /
+retrain_model_from_events (reference: src/nanopolish_methyltrain.cpp:
+310-474, :589-719, :721-923): per round, align every read to the reference
+under the training alphabet, reservoir-sample per-kmer fully-scaled event
+levels (cap 1000), then fit per-kmer Gaussian mixtures (methylated kmers
+get a 5% unmethylated contamination component).
+
+TPU mapping: alignment runs through the batched segment-wavefront Viterbi;
+the per-kmer mixture EM trains ALL kmers simultaneously as one device
+program (ops/mixture_em) instead of OpenMP-over-kmers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Dict, List, Optional, TextIO
+
+import numpy as np
+
+from ..alignment.eventalign import align_reads_to_ref
+from ..io.fasta import FastaIndex
+from ..io.readdb import ReadDB
+from ..models.calibration import recalibrate_model
+from ..models.pore_model import PoreModel, PoreModelSet
+from ..models.read_builder import GLOBAL_READ_STATS
+from ..models.read_loader import load_squiggle_reads
+from ..ops.mixture_em import train_gaussian_mixture_batched
+from .bam_processor import BamBatchProcessor
+
+# defaults (methyltrain.cpp:144-148)
+MIN_EVENT_DURATION = 0.002
+MIN_DISTANCE_FROM_ALIGNMENT_END = 5
+MIN_NUMBER_OF_EVENTS_TO_TRAIN = 100
+NUM_TRAINING_ROUNDS = 5
+MAX_EVENTS = 1000
+INCOMPLETE_METHYLATION_RATE = 0.05
+
+
+class KmerSummary:
+    __slots__ = ("events", "num_matches", "num_skips", "num_stays")
+
+    def __init__(self):
+        self.events: List = []    # (level, scaled_read_var)
+        self.num_matches = 0
+        self.num_skips = 0
+        self.num_stays = 0
+
+
+def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
+                         calibrate: bool):
+    """One pass over the BAM collecting per-kmer training events
+    (add_aligned_events, methyltrain.cpp:329-474)."""
+    alphabet = model.alphabet
+    k = model.k
+    n_states = model.level_mean.shape[0]
+    summaries = [KmerSummary() for _ in range(n_states)]
+    event_count = np.zeros(n_states, np.int64)
+
+    proc = BamBatchProcessor(opt.bam, region=opt.window,
+                             max_reads=opt.max_reads)
+    region_start = proc.clip_start if opt.window else -1
+    region_end = (proc.clip_end - 1) if (opt.window and proc.clip_end >= 0) \
+        else -1
+    for batch in proc.batches():
+        names = sorted({rec.qname for _, rec in batch})
+        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS)
+        jobs = []
+        for read_idx, rec in batch:
+            sr = reads.get(rec.qname)
+            if sr is None:
+                continue
+            for strand in (0, 1):
+                if sr.has_events_for_strand(strand):
+                    jobs.append((sr, rec, strand, read_idx))
+        alignments = align_reads_to_ref(jobs, fai, proc.references,
+                                        region_start, region_end,
+                                        alphabet=alphabet.name)
+        for (sr, rec, strand, read_idx), ao in zip(jobs, alignments):
+            if not ao:
+                continue
+            if calibrate:
+                recalibrate_model(sr, sr.get_model(strand, alphabet.name),
+                                  strand, ao, scale_var=True,
+                                  scale_drift=True)
+            sc = sr.scalings[strand]
+            n = len(ao)
+            for i, ea in enumerate(ao):
+                if ea.hmm_state == "B":
+                    continue
+                try:
+                    rank = alphabet.kmer_rank(ea.model_kmer, k)
+                except (KeyError, ValueError):
+                    continue
+                summ = summaries[rank]
+                use = (i > MIN_DISTANCE_FROM_ALIGNMENT_END
+                       and i + MIN_DISTANCE_FROM_ALIGNMENT_END < n
+                       and ea.hmm_state == "M"
+                       and sr.get_duration(ea.event_idx, strand)
+                       >= MIN_EVENT_DURATION
+                       and sr.get_fully_scaled_level(ea.event_idx, strand)
+                       >= 1.0)
+                if use:
+                    level = float(sr.get_fully_scaled_level(ea.event_idx,
+                                                            strand))
+                    svar = sc.var / sc.scale
+                    event_count[rank] += 1
+                    # reservoir sampling (methyltrain.cpp:310-327)
+                    if event_count[rank] <= MAX_EVENTS:
+                        summ.events.append((level, svar))
+                    else:
+                        loc = int(rng.integers(0, event_count[rank]))
+                        if loc < MAX_EVENTS:
+                            summ.events[loc] = (level, svar)
+                if ea.hmm_state == "M":
+                    summ.num_matches += 1
+                elif ea.hmm_state == "E":
+                    summ.num_stays += 1
+    proc.close()
+    return summaries
+
+
+def retrain_model_from_events(model: PoreModel, summaries,
+                              training_target: str,
+                              summary_fp: Optional[TextIO],
+                              model_short_name: str,
+                              min_events: int = MIN_NUMBER_OF_EVENTS_TO_TRAIN):
+    """Batched per-kmer mixture fits (methyltrain.cpp:589-719)."""
+    alphabet = model.alphabet
+    k = model.k
+    R = model.level_mean.shape[0]
+    kmers = [alphabet.rank_to_kmer(r, k) for r in range(R)]
+    is_m = np.array(["M" in km for km in kmers])
+    n_events = np.array([len(s.events) for s in summaries])
+    update = np.ones(R, bool)
+    if training_target == "methylated":
+        update = is_m
+    elif training_target == "unmethylated":
+        update = ~is_m
+    trainable = update & (n_events >= min_events)
+
+    new_mean = model.level_mean.copy()
+    new_stdv = model.level_stdv.copy()
+    idx = np.nonzero(trainable)[0]
+    if idx.size:
+        N = int(n_events[idx].max())
+        levels = np.ones((idx.size, N), np.float32)
+        svar = np.ones((idx.size, N), np.float32)
+        mask = np.zeros((idx.size, N), bool)
+        logw0 = np.full((idx.size, 2), -np.inf, np.float32)
+        mu0 = np.ones((idx.size, 2), np.float32)
+        sd0 = np.ones((idx.size, 2), np.float32)
+        for bi, r in enumerate(idx):
+            ev = summaries[r].events
+            levels[bi, :len(ev)] = [e[0] for e in ev]
+            svar[bi, :len(ev)] = [e[1] for e in ev]
+            mask[bi, :len(ev)] = True
+            if is_m[r]:
+                logw0[bi, 0] = np.log(1 - INCOMPLETE_METHYLATION_RATE)
+                logw0[bi, 1] = np.log(INCOMPLETE_METHYLATION_RATE)
+                um_rank = alphabet.kmer_rank(alphabet.unmethylate(kmers[r]), k)
+                mu0[bi] = (model.level_mean[r], model.level_mean[um_rank])
+                sd0[bi] = (model.level_stdv[r], model.level_stdv[um_rank])
+            else:
+                logw0[bi, 0] = 0.0
+                mu0[bi] = (model.level_mean[r], 1.0)
+                sd0[bi] = (model.level_stdv[r], 1.0)
+        fit = train_gaussian_mixture_batched(levels, svar, mask, logw0,
+                                             mu0, sd0)
+        new_mean[idx] = np.asarray(fit.means)[:, 0]
+        new_stdv[idx] = np.asarray(fit.stdvs)[:, 0]
+
+    if summary_fp is not None:
+        for r in range(R):
+            s = summaries[r]
+            summary_fp.write(
+                f"{model_short_name}\t{kmers[r]}\t{s.num_matches}\t"
+                f"{s.num_skips}\t{s.num_stays}\t{len(s.events)}\t"
+                f"{int(bool(trainable[r]))}\t{new_mean[r]:.2f}\t"
+                f"{new_stdv[r]:.2f}\n")
+
+    return model.with_states(new_mean, new_stdv), int(trainable.sum())
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nanopolish_tpu methyltrain",
+                                description="train a methylation model")
+    p.add_argument("-r", "--reads", required=True)
+    p.add_argument("-b", "--bam", required=True)
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-m", "--models-fofn", required=True)
+    p.add_argument("-w", "--window", default="")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-c", "--calibrate", action="store_true")
+    p.add_argument("--train-kmers", default="all",
+                   choices=["all", "methylated", "unmethylated"])
+    p.add_argument("--rounds", type=int, default=NUM_TRAINING_ROUNDS)
+    p.add_argument("--min-events", type=int,
+                   default=MIN_NUMBER_OF_EVENTS_TO_TRAIN)
+    p.add_argument("--out-suffix", default="")
+    p.add_argument("--no-write-models", action="store_true")
+    p.add_argument("--max-reads", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
+    opt = make_parser().parse_args(argv)
+    pms = PoreModelSet.instance()
+    imported = pms.initialize(opt.models_fofn)
+    if not imported:
+        raise SystemExit("methyltrain: no models imported from fofn")
+    model0 = imported[0]
+    kit, alphabet, strand, k = model0.key()
+    print(f"Training {kit} for alphabet {alphabet} for {k}-mers",
+          file=sys.stderr)
+
+    read_db = ReadDB()
+    read_db.load(opt.reads)
+    fai = FastaIndex(opt.genome)
+    rng = np.random.default_rng(opt.seed)
+
+    for rnd in range(opt.rounds):
+        print(f"Starting round {rnd}", file=sys.stderr)
+        model = pms.get_model(kit, alphabet, strand, k)
+        summaries = collect_round_events(opt, read_db, fai, model, rng,
+                                         opt.calibrate)
+        summary_path = f"methyltrain{opt.out_suffix}.summary"
+        with open(summary_path, "w") as summary_fp:
+            summary_fp.write(
+                "model_short_name\tkmer\tnum_matches\tnum_skips\tnum_stays\t"
+                "num_events_for_training\twas_trained\ttrained_level_mean\t"
+                "trained_level_stdv\n")
+            trained_model, n_trained = retrain_model_from_events(
+                model, summaries, opt.train_kmers, summary_fp, model.name,
+                min_events=opt.min_events)
+        pms.add_model(trained_model)
+        if not opt.no_write_models and n_trained > 0:
+            out_name = f"{kit}.{alphabet}.{k}mer.{strand}{opt.out_suffix}" \
+                f".round{rnd}.model"
+            trained_model.write(out_name, out_name)
+        print(f"Round {rnd}: trained {n_trained} kmers", file=sys.stderr)
+    return 0

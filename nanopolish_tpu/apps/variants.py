@@ -53,6 +53,7 @@ class Opts:
     consensus_mode = False
     genotype_only = False
     snps_only = False
+    fix_homopolymers = False
     methylation_types: List[str] = []
 
 
@@ -428,6 +429,166 @@ def simple_call(group: VariantGroup, ploidy: int,
 
 
 # ---------------------------------------------------------------------------
+# homopolymer fixing (duration model)
+# ---------------------------------------------------------------------------
+
+def fix_homopolymers(input_haplotype: Haplotype, alignments: AlignmentDB,
+                     opts: Opts) -> Haplotype:
+    """call_variants.cpp:541-780: recall homopolymer lengths 3..9 using the
+    gamma duration model + event likelihood, batched on device."""
+    from ..alignment.segments import viterbi_segments
+    from ..models.duration_model import (MIN_DURATION, durations_from_alignment,
+                                         log_gamma_sum)
+
+    MIN_HP_LENGTH, MAX_HP_LENGTH = 3, 9
+    CALL_THRESHOLD = 10.0
+    KMER_SIZE = 6
+    fixed = Haplotype(input_haplotype.ref_name, input_haplotype.ref_position,
+                      input_haplotype.get_reference())
+    fixed.sequence = input_haplotype.sequence
+    fixed.coordinate_map = list(input_haplotype.coordinate_map)
+    fixed.variants = list(input_haplotype.variants)
+    hap_seq = input_haplotype.get_sequence()
+
+    # --- scan homopolymers + collect all scoring tasks ---
+    hps = []
+    i = 0
+    while i < len(hap_seq):
+        hp_base = hap_seq[i]
+        hap_hp_start = i
+        while i < len(hap_seq) and hap_seq[i] == hp_base:
+            i += 1
+        if i >= len(hap_seq):
+            break
+        hap_hp_end = i
+        hp_length = hap_hp_end - hap_hp_start
+        if hp_length < MIN_HP_LENGTH or hp_length > MAX_HP_LENGTH:
+            continue
+        if hap_hp_start < opts.min_flanking_sequence or \
+                hap_hp_end + opts.min_flanking_sequence >= len(hap_seq):
+            continue
+        rng = input_haplotype.get_enclosing_reference_range_for_haplotype_range(
+            hap_hp_start - opts.min_flanking_sequence,
+            hap_hp_end + opts.min_flanking_sequence)
+        if rng is None:
+            continue
+        hap_calling_start, hap_calling_end, ref_calling_start, ref_calling_end = rng
+        if ref_calling_start < alignments.get_region_start() or \
+                ref_calling_end >= alignments.get_region_end():
+            continue
+        if ref_calling_start < input_haplotype.ref_position or \
+                ref_calling_end >= input_haplotype.get_reference_end():
+            continue
+        calling_hap = input_haplotype.substr_by_reference(ref_calling_start,
+                                                          ref_calling_end)
+        calling_sequence = calling_hap.get_sequence()
+        events = alignments.get_event_subsequences(
+            alignments.get_region_contig(), ref_calling_start,
+            ref_calling_end)
+        k0 = hap_hp_start - hap_calling_start - KMER_SIZE + 1
+        hps.append({"base": hp_base, "hap_start": hap_hp_start,
+                    "hap_end": hap_hp_end, "length": hp_length, "k0": k0,
+                    "hap_calling_start": hap_calling_start,
+                    "calling_sequence": calling_sequence, "events": events})
+
+    if not hps:
+        return fixed
+
+    vit_segs, fwd_segs, tasks = [], [], []
+    for hp in hps:
+        for ev in hp["events"]:
+            if abs(ev.event_start_idx - ev.event_stop_idx) < 10:
+                continue
+            sr = ev.sr
+            local_time = abs(sr.get_time(ev.event_start_idx, ev.strand)
+                             - sr.get_time(ev.event_stop_idx, ev.strand))
+            local_avg = local_time / max(len(hp["calling_sequence"]), 1)
+            if local_avg <= 0:
+                continue
+            rate = (1.0 / local_avg) * 2.461964
+            model = sr.base_model[ev.strand]
+            for length in range(MIN_HP_LENGTH, MAX_HP_LENGTH + 1):
+                diff = length - hp["length"]
+                pos = hp["hap_start"] - hp["hap_calling_start"]
+                vs = hp["calling_sequence"]
+                if diff < 0:
+                    vs = vs[:pos] + vs[pos - diff:]
+                elif diff > 0:
+                    vs = vs[:pos] + hp["base"] * diff + vs[pos:]
+                hseq = HMMInputSequence(vs, alphabet=model.alphabet)
+                ranks = hseq.kmer_ranks(model.k, ev.rc)
+                seg = make_segment(sr, ev.strand, ranks, ev.event_start_idx,
+                                   ev.event_stop_idx, model=model, flags=0)
+                vit_segs.append(seg)
+                fwd_segs.append(seg)
+                tasks.append((hp, ev, length, diff, rate,
+                              len(vs) - model.k + 1))
+
+    if not tasks:
+        return fixed
+    backs = viterbi_segments(vit_segs)
+    fwd_scores = forward_segments(fwd_segs)
+
+    per_hp_dur = {id(hp): np.zeros(MAX_HP_LENGTH + 1) for hp in hps}
+    per_hp_ev = {id(hp): np.zeros(MAX_HP_LENGTH + 1) for hp in hps}
+    for ti, (hp, ev, length, diff, rate, n_kmers) in enumerate(tasks):
+        stride = 1 if ev.event_start_idx <= ev.event_stop_idx else -1
+        sr = ev.sr
+        dur = durations_from_alignment(backs[ti], ev.event_start_idx, stride,
+                                       sr.events[ev.strand].duration, n_kmers)
+        call_window = 2
+        k0 = hp["k0"]
+        v0 = k0 + 4 - call_window
+        v1 = k0 + hp["length"] + diff + call_window
+        sum_duration = float(dur[max(v0, 0):max(v1, 0)].sum())
+        num_kmers = v1 - v0
+        lg = log_gamma_sum(sum_duration, num_kmers, 2.461964, rate) \
+            if sum_duration > MIN_DURATION else 0.0
+        per_hp_dur[id(hp)][length] += lg
+        per_hp_ev[id(hp)][length] += float(fwd_scores[ti])
+
+    # --- per-hp call + haplotype edit (call_variants.cpp:691-780) ---
+    for hp in hps:
+        dur_l = per_hp_dur[id(hp)]
+        ev_l = per_hp_ev[id(hp)]
+        scores = dur_l + ev_l
+        lens = range(MIN_HP_LENGTH, MAX_HP_LENGTH + 1)
+        call = max(lens, key=lambda l: scores[l])
+        score = scores[call] - scores[hp["length"]]
+        if score < CALL_THRESHOLD:
+            continue
+        size_diff = call - hp["length"]
+        if size_diff == 0:
+            continue
+        for kpos in range(hp["hap_start"], hp["hap_end"] + 1):
+            ref_pos = input_haplotype.get_reference_position_for_haplotype_base(kpos)
+            if ref_pos is None:
+                continue
+            if size_diff > 0:
+                ref_seq = fixed.substr_by_reference(ref_pos, ref_pos).get_sequence()
+                if len(ref_seq) == 1 and ref_seq[0] == hp["base"]:
+                    v = Variant(ref_name=fixed.ref_name, ref_position=ref_pos,
+                                ref_seq=ref_seq, alt_seq=ref_seq + hp["base"],
+                                quality=score)
+                    v.add_info("TotalReads", len(hp["events"]))
+                    v.add_info("AlleleCount", 1)
+                    if fixed.apply_variant(v):
+                        break
+            else:
+                ref_seq = fixed.substr_by_reference(ref_pos, ref_pos + 1).get_sequence()
+                if len(ref_seq) == 2 and ref_seq[0] == hp["base"] and \
+                        ref_seq[1] == hp["base"]:
+                    v = Variant(ref_name=fixed.ref_name, ref_position=ref_pos,
+                                ref_seq=ref_seq, alt_seq=ref_seq[0],
+                                quality=score)
+                    v.add_info("TotalReads", len(hp["events"]))
+                    v.add_info("AlleleCount", 1)
+                    if fixed.apply_variant(v):
+                        break
+    return fixed
+
+
+# ---------------------------------------------------------------------------
 # region pipeline
 # ---------------------------------------------------------------------------
 
@@ -519,6 +680,9 @@ def call_variants_for_region(contig: str, region_start: int, region_end: int,
                                                      called_variants, opts)
             else:
                 break
+        if opts.fix_homopolymers:
+            called_haplotype = fix_homopolymers(called_haplotype, alignments,
+                                                opts)
     else:
         called_haplotype = call_haplotype_from_candidates(
             alignments, candidate_variants, opts)
@@ -551,6 +715,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-rounds", type=int, default=50)
     p.add_argument("--min-flanking-sequence", type=int, default=30)
     p.add_argument("--snps", action="store_true")
+    p.add_argument("--fix-homopolymers", action="store_true")
     p.add_argument("--models-fofn", default="")
     return p
 
@@ -570,6 +735,7 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     opts.max_rounds = opt.max_rounds
     opts.min_flanking_sequence = opt.min_flanking_sequence
     opts.snps_only = opt.snps
+    opts.fix_homopolymers = opt.fix_homopolymers
     if opt.faster:
         opts.screen_score_threshold = 25
     if opt.effort is not None:

@@ -111,3 +111,19 @@ def test_vcf2fasta_window_checks(consensus_pipeline, tmp_path):
     with pytest.raises(SystemExit):
         v2f_app.main(["-g", p["draft_fa"], str(bad_vcf)],
                      stdout=io.StringIO())
+
+
+def test_variants_consensus_fix_homopolymers_no_harm(consensus_pipeline):
+    """--fix-homopolymers must not corrupt a correct consensus."""
+    import io as _io
+    p = consensus_pipeline
+    vcf_path = str(p["dir"] / "polished_hp.vcf")
+    var_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["draft_fa"],
+                  "-w", f"tig1:0-{DRAFT_LEN - 1}", "--consensus",
+                  "--fix-homopolymers", "-o", vcf_path, "-d", "10"])
+    out = _io.StringIO()
+    v2f_app.main(["-g", p["draft_fa"], "--skip-checks", vcf_path],
+                 stdout=out)
+    polished = out.getvalue().splitlines()[1]
+    BUF = 45
+    assert p["truth"][BUF:DRAFT_LEN - BUF] in polished
