@@ -13,6 +13,7 @@ batch run as one padded batched HMM kernel call.
 from __future__ import annotations
 
 import argparse
+import math
 import sys
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, TextIO, Tuple
@@ -188,6 +189,117 @@ def score_batch(tasks) -> None:
         ss.strands_scored += 1
 
 
+# ---------------------------------------------------------------------------
+# modbam output (basemods.cpp:34-235)
+# ---------------------------------------------------------------------------
+
+METHYLATED_SYMBOL = "M"
+
+
+def get_modification_symbols(alphabet):
+    """basemods.cpp:34-48: the canonical base carrying the modification."""
+    site = alphabet.recognition_sites[0]
+    site_m = alphabet.recognition_sites_methylated[0]
+    for a, b in zip(site, site_m):
+        if b == METHYLATED_SYMBOL:
+            return a, METHYLATED_SYMBOL
+    raise ValueError("no methylated symbol in recognition site")
+
+
+def calculate_call_vectors(site_score_map, alphabet):
+    """basemods.cpp:50-80."""
+    positions: List[int] = []
+    probs: List[int] = []
+    for pos in sorted(site_score_map):
+        call = site_score_map[pos]
+        m_seq = alphabet.methylate(call.sequence)
+        flank_offset = m_seq.find(METHYLATED_SYMBOL)
+        if flank_offset < 0:
+            continue
+        p_m = math.exp(call.ll_methylated[0])
+        p_u = math.exp(call.ll_unmethylated[0])
+        denom = p_m + p_u
+        prob = p_m / denom if denom > 0 else 0.5
+        code = min(255, int(prob * 255))
+        for j, ch in enumerate(m_seq):
+            if ch == METHYLATED_SYMBOL:
+                positions.append(call.start_position + j - flank_offset)
+                probs.append(code)
+    return positions, probs
+
+
+def generate_mm_tag(unmodified_symbol: str, sequence: str,
+                    call_seq_indices) -> str:
+    """basemods.cpp:82-105."""
+    parts = [f"{unmodified_symbol}+m?"]
+    count_start = 0
+    for idx in call_seq_indices:
+        count = sum(1 for j in range(count_start, idx)
+                    if sequence[j] == unmodified_symbol)
+        parts.append(f",{count}")
+        count_start = idx + 1
+    return "".join(parts) + ";"
+
+
+def create_modbam_record(record, site_score_map, alphabet):
+    """Read-style modbam record (basemods.cpp:107-177)."""
+    from ..alignment.records import SequenceAlignmentRecord
+    from ..io.bam import BamRecord as _BamRecord
+
+    unmod, _ = get_modification_symbols(alphabet)
+    positions, probs = calculate_call_vectors(site_score_map, alphabet)
+    rc = record.is_reverse
+    aln = SequenceAlignmentRecord.from_bam(record)
+    original = DNA_ALPHABET.reverse_complement(record.seq) if rc \
+        else record.seq
+    ref_to_read = {}
+    for ref_pos, read_pos in aln.aligned_bases:
+        ref_to_read[int(ref_pos)] = (len(original) - int(read_pos) - 1) \
+            if rc else int(read_pos)
+    strand_offset = 1 if rc else 0
+    idxs, out_probs = [], []
+    for pos, prob in zip(positions, probs):
+        ri = ref_to_read.get(pos + strand_offset)
+        if ri is not None and original[ri] == unmod:
+            idxs.append(ri)
+            out_probs.append(prob)
+    if rc:
+        idxs.reverse()
+        out_probs.reverse()
+    delta = generate_mm_tag(unmod, original, idxs)
+    out = _BamRecord(qname=record.qname, flag=record.flag, tid=record.tid,
+                     pos=record.pos, mapq=record.mapq,
+                     cigar=list(record.cigar), mtid=record.mtid,
+                     mpos=record.mpos, tlen=record.tlen, seq=record.seq,
+                     qual=record.qual,
+                     tags=dict(record.tags))
+    out.tags["Mm"] = ("Z", delta)
+    out.tags["Ml"] = ("B", ("C", out_probs))
+    return out
+
+
+def create_reference_modbam_record(fai, contig, record, site_score_map,
+                                   alphabet):
+    """Reference-style modbam record (basemods.cpp:181-235)."""
+    import numpy as _np
+
+    from ..io.bam import BamRecord as _BamRecord
+
+    unmod, _ = get_modification_symbols(alphabet)
+    positions, probs = calculate_call_vectors(site_score_map, alphabet)
+    ref_seq = DNA_ALPHABET.disambiguate(
+        fai.fetch(contig, record.pos, record.reference_end() + 1).upper())
+    idxs = [p - record.pos for p in positions]
+    delta = generate_mm_tag(unmod, ref_seq, idxs)
+    out = _BamRecord(qname=record.qname, flag=0, tid=record.tid,
+                     pos=record.pos, mapq=record.mapq,
+                     cigar=[(0, len(ref_seq))], mtid=-1, mpos=-1, tlen=0,
+                     seq=ref_seq,
+                     qual=_np.full(len(ref_seq), 30, _np.uint8),
+                     tags={"Mm": ("Z", delta), "Ml": ("B", ("C", probs))})
+    return out
+
+
 def write_site_header(fp: TextIO):
     fp.write("chromosome\tstrand\tstart\tend\tread_name\t"
              "log_lik_ratio\tlog_lik_methylated\tlog_lik_unmethylated\t"
@@ -225,12 +337,43 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-flank", type=int, default=10)
     p.add_argument("--models-fofn", default="")
     p.add_argument("--max-reads", type=int, default=None)
+    p.add_argument("--modbam-output-name", default="")
+    p.add_argument("--modbam-style", default="reference",
+                   choices=["read", "reference"])
+    p.add_argument("--watch", default="",
+                   help="watch a sequencing run directory for new reads")
+    p.add_argument("--watch-process-total", type=int, default=1)
+    p.add_argument("--watch-process-index", type=int, default=0)
+    p.add_argument("--watch-mapper", default="minimap2",
+                   help="external mapper executable for watch mode")
     return p
+
+
+def run_watch_mode(opt, out):
+    """Live calling mode (call_methylation.cpp:213-530): poll
+    fast5_pass/+fastq_pass/ for finished file pairs, shard them across
+    processes by numeric suffix mod N, map with an external mapper
+    (the reference embeds minimap2; this build shells out), then run the
+    normal calling path per file pair."""
+    import shutil
+
+    if shutil.which(opt.watch_mapper) is None:
+        raise SystemExit(
+            f"call-methylation --watch requires a mapper executable "
+            f"({opt.watch_mapper!r} not found in PATH). Install minimap2 "
+            f"or pass --watch-mapper.")
+    raise SystemExit(
+        "call-methylation --watch: live mode is not wired in this build "
+        "yet; run the mapper + the normal call-methylation path per "
+        "fastq/fast5 pair (shard files by numeric suffix mod "
+        f"{opt.watch_process_total}).")
 
 
 def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     opt = make_parser().parse_args(argv)
     out = stdout if stdout is not None else sys.stdout
+    if opt.watch:
+        return run_watch_mode(opt, out)
     if opt.models_fofn:
         PoreModelSet.instance().initialize(opt.models_fofn)
     params = CallingParameters(methylation_type=opt.methylation,
@@ -246,6 +389,12 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
                              max_reads=opt.max_reads)
     region_start = proc.clip_start if opt.window else -1
     region_end = proc.clip_end if (opt.window and proc.clip_end >= 0) else -1
+
+    bam_writer = None
+    if opt.modbam_output_name:
+        from ..io.bam import BamWriter
+        bam_writer = BamWriter(opt.modbam_output_name, proc.header_text,
+                               proc.references, proc.reader.lengths)
 
     write_site_header(out)
     for batch in proc.batches():
@@ -269,5 +418,17 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         # ordered output per batch (BamProcessor batch_func semantics)
         for t in tasks:
             write_read_sites(out, t["record"], t["site_score_map"])
+            if bam_writer is not None:
+                if opt.modbam_style == "read":
+                    rec = create_modbam_record(t["record"],
+                                               t["site_score_map"],
+                                               params.alphabet)
+                else:
+                    rec = create_reference_modbam_record(
+                        fai, t["contig"], t["record"], t["site_score_map"],
+                        params.alphabet)
+                bam_writer.write(rec)
+    if bam_writer is not None:
+        bam_writer.close()
     proc.close()
     return 0

@@ -15,7 +15,8 @@ from typing import List, Optional, TextIO
 import numpy as np
 
 from ..alignment.eventalign import align_reads_to_ref
-from ..alignment.segments import HMMSegment, forward_segments, make_segment
+from ..alignment.segments import (HMMSegment, forward_segments, make_segment,
+                                  viterbi_segments)
 from ..io.fasta import FastaIndex
 from ..io.readdb import ReadDB
 from ..models.calibration import recalibrate_model
@@ -56,7 +57,9 @@ def _segment_tasks(sr, strand_idx, fai, contig, alignment):
         n_events = abs(a1.event_idx - a0.event_idx) + 1
         sub = alignment[start:start + EVENTS_PER_SEGMENT]
         tasks.append({"segment": seg, "n_events": n_events, "sub": sub,
-                      "model": model})
+                      "model": model, "hmm_seq": hmm_seq, "rc": rc,
+                      "event_start": a0.event_idx,
+                      "stride": 1 if a1.event_idx >= a0.event_idx else -1})
     return tasks
 
 
@@ -72,6 +75,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--calibrate", action="store_true")
     p.add_argument("-z", "--zero-drift", action="store_true")
     p.add_argument("-i", "--individual-reads", default="")
+    p.add_argument("--train-transitions", action="store_true")
     p.add_argument("--max-reads", type=int, default=None)
     return p
 
@@ -84,6 +88,9 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     scale_drift = not opt.zero_drift
     readnames = [r for r in opt.individual_reads.split(",") if r] \
         if opt.individual_reads else []
+
+    from ..models.transition_parameters import TransitionParameters
+    transition_training = [TransitionParameters(), TransitionParameters()]
 
     read_db = ReadDB()
     read_db.load(opt.reads)
@@ -124,11 +131,20 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         all_segments = [t["segment"] for tasks in per_job_tasks if tasks
                         for t in tasks]
         scores = forward_segments(all_segments) if all_segments else []
+        backs = viterbi_segments(all_segments) if (opt.train_transitions
+                                                   and all_segments) else None
 
         si = 0
         for (sr, rec, strand, read_idx), tasks in zip(jobs, per_job_tasks):
             if not tasks:
                 continue
+            if backs is not None:
+                for toff, t in enumerate(tasks):
+                    evs, kms, states = backs[si + toff]
+                    aln = [(t["event_start"] + int(e) * t["stride"], int(km),
+                            st) for e, km, st in zip(evs, kms, states)]
+                    transition_training[strand].add_training_from_alignment(
+                        sr, strand, t["model"], t["hmm_seq"], t["rc"], aln)
             curr_score = 0.0
             nevents = 0
             for t in tasks:
@@ -158,5 +174,10 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
                       f"{model.name} {score:g} shift {sc.shift:g} "
                       f"scale {sc.scale:g} drift {sc.drift:g} "
                       f"var {sc.var:g}\n")
+    if opt.train_transitions:
+        for strand_idx in (0, 1):
+            print(f"Transition parameters for {strand_idx}", file=sys.stderr)
+            transition_training[strand_idx].train()
+            transition_training[strand_idx].print()
     proc.close()
     return 0

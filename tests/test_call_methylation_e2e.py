@@ -118,3 +118,40 @@ def test_call_methylation_window(meth_pipeline):
     rows = [l.split("\t") for l in out.getvalue().splitlines()[1:]]
     assert rows
     assert all(int(f[2]) <= 800 for f in rows)
+
+
+def test_call_methylation_modbam(meth_pipeline, tmp_path):
+    import io as _io
+    from nanopolish_tpu.io.bam import BamReader
+    p = meth_pipeline
+    modbam = str(tmp_path / "mods.bam")
+    out = _io.StringIO()
+    cm_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"],
+                 "-q", "cpg", "--modbam-output-name", modbam,
+                 "--modbam-style", "reference"], stdout=out)
+    r = BamReader(modbam)
+    recs = list(r)
+    assert len(recs) == 4
+    for rec in recs:
+        assert "Mm" in rec.tags and "Ml" in rec.tags
+        mm = rec.tags["Mm"][1]
+        assert mm.startswith("C+m?") and mm.endswith(";")
+        code, probs = rec.tags["Ml"][1]
+        assert code == "C"
+        n_calls = mm.count(",")
+        assert len(probs) == n_calls
+        # methylated reads get high probabilities, unmethylated low
+        if probs:
+            mean_p = sum(probs) / len(probs) / 255.0
+            if rec.qname.startswith("m"):
+                assert mean_p > 0.6, (rec.qname, mean_p)
+            else:
+                assert mean_p < 0.4, (rec.qname, mean_p)
+    # read-style variant also writes valid records
+    modbam2 = str(tmp_path / "mods_read.bam")
+    cm_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"],
+                 "-q", "cpg", "--modbam-output-name", modbam2,
+                 "--modbam-style", "read"], stdout=_io.StringIO())
+    recs2 = list(BamReader(modbam2))
+    assert len(recs2) == 4
+    assert all("Mm" in rc.tags for rc in recs2)

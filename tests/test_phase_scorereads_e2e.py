@@ -119,3 +119,16 @@ def test_scorereads(phased_pipeline):
         score = float(f[3])
         assert -4.0 < score < 0.0      # plausible per-event log-likelihood
         assert f[4] == "shift"
+
+
+def test_scorereads_train_transitions(phased_pipeline, capsys):
+    p = phased_pipeline
+    out = io.StringIO()
+    sc_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"],
+                 "--train-transitions"], stdout=out)
+    err = capsys.readouterr().err
+    assert "Transition parameters for 0" in err
+    assert "TRANSITIONS" in err
+    assert "SKIP_TABLE" in err
+    # template strand saw matches
+    assert "matches=0" not in err.split("SUMMARY")[1].splitlines()[0]
