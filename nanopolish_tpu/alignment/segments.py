@@ -110,11 +110,65 @@ def viterbi_segments(segments: Sequence[HMMSegment],
     return results  # type: ignore[return-value]
 
 
+def _forward_segments_pallas(segments: Sequence[HMMSegment],
+                             indel_bias: float) -> np.ndarray:
+    """TPU fast path: one Pallas kernel shape per power-of-two event
+    length, mixed clip flags share a compile (ops/pallas_profile_hmm)."""
+    from ..ops.pallas_profile_hmm import profile_hmm_forward_pallas
+
+    out = np.zeros(len(segments), np.float32)
+    buckets = {}
+    for i, s in enumerate(segments):
+        tp = 256
+        while tp < len(s.levels):
+            tp *= 2
+        buckets.setdefault(tp, []).append(i)
+    for tp, idxs in buckets.items():
+        for lo in range(0, len(idxs), 512):
+            chunk = idxs[lo:lo + 512]
+            B = len(chunk)
+            K = max(len(segments[si].mu) for si in chunk)
+            levels = np.zeros((B, tp), np.float32)
+            mu = np.zeros((B, K), np.float32)
+            sigma = np.ones((B, K), np.float32)
+            n_events = np.zeros(B, np.int32)
+            n_kmers = np.zeros(B, np.int32)
+            epb = np.full(B, 2.0, np.float32)
+            flags = np.zeros(B, np.int32)
+            for bi, si in enumerate(chunk):
+                s = segments[si]
+                ne, nk = len(s.levels), len(s.mu)
+                levels[bi, :ne] = s.levels
+                mu[bi, :nk] = s.mu
+                sigma[bi, :nk] = s.sigma
+                n_events[bi] = ne
+                n_kmers[bi] = nk
+                epb[bi] = s.events_per_base
+                flags[bi] = s.flags
+            lp = profile_hmm_forward_pallas(
+                levels, n_events, mu, sigma,
+                np.log(np.maximum(sigma, 1e-30)), n_kmers, epb, flags,
+                indel_bias)
+            out[np.asarray(chunk)] = lp
+    return out
+
+
 def forward_segments(segments: Sequence[HMMSegment],
                      indel_bias: float = 1.0,
                      t_quantum: int = 128, k_quantum: int = 32,
                      max_batch: int = 512) -> np.ndarray:
     """Forward-score each segment; returns [n_segments] float32 lp."""
+    import os
+
+    import jax
+
+    impl = os.environ.get("NPT_HMM_IMPL", "auto")
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() in ("tpu", "axon"))
+    if use_pallas and segments and \
+            all(len(s.mu) <= 256 for s in segments):
+        return _forward_segments_pallas(segments, indel_bias)
+
     out = np.zeros(len(segments), np.float32)
     for (T, K, flags), idxs in _bucket_indices(segments, t_quantum, k_quantum).items():
         for lo in range(0, len(idxs), max_batch):

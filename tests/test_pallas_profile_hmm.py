@@ -1,0 +1,52 @@
+"""Pallas profile-HMM Forward kernel vs the exact lax.scan implementation
+(and thereby the NumPy cell-by-cell port, covered by test_profile_hmm)."""
+
+import numpy as np
+import pytest
+
+from nanopolish_tpu.models.pore_model import PoreModelSet
+from nanopolish_tpu.ops.pallas_profile_hmm import profile_hmm_forward_pallas
+from nanopolish_tpu.ops.profile_hmm import profile_hmm_forward
+
+
+def _batch(B, Kmax, Tmax, seed=0):
+    model = PoreModelSet.instance().get_model(
+        "r9.4_450bps", "nucleotide", "template", 6)
+    rng = np.random.default_rng(seed)
+    Ks = rng.integers(Kmax // 2, Kmax, B)
+    Ts = rng.integers(Tmax // 2, Tmax, B)
+    mu = np.zeros((B, Kmax), np.float32)
+    sd = np.ones((B, Kmax), np.float32)
+    lv = np.zeros((B, Tmax), np.float32)
+    for b in range(B):
+        ranks = rng.integers(0, 4096, Ks[b])
+        mu[b, :Ks[b]] = model.level_mean[ranks]
+        sd[b, :Ks[b]] = model.level_stdv[ranks]
+        reps = np.minimum((np.arange(Ts[b]) / (Ts[b] / Ks[b])).astype(int),
+                          Ks[b] - 1)
+        lv[b, :Ts[b]] = mu[b, reps] + rng.normal(0, 1, Ts[b]) * sd[b, reps]
+    epb = np.full(B, 2.2, np.float32)
+    return lv, Ts.astype(np.int32), mu, sd, Ks.astype(np.int32), epb
+
+
+@pytest.mark.parametrize("flags", [0, 1, 2, 3])
+def test_pallas_forward_matches_scan(flags):
+    lv, Ts, mu, sd, Ks, epb = _batch(6, 150, 280, seed=flags)
+    ref = np.asarray(profile_hmm_forward(lv, Ts, mu, sd, np.log(sd), Ks,
+                                         epb, flags=flags))
+    pal = profile_hmm_forward_pallas(lv, Ts, mu, sd, np.log(sd), Ks, epb,
+                                     flags)
+    np.testing.assert_allclose(pal, ref, atol=2e-3, rtol=0)
+
+
+def test_pallas_forward_mixed_flags_one_call():
+    lv, Ts, mu, sd, Ks, epb = _batch(8, 120, 250, seed=9)
+    flags = np.array([0, 1, 2, 3, 3, 2, 1, 0], np.int32)
+    pal = profile_hmm_forward_pallas(lv, Ts, mu, sd, np.log(sd), Ks, epb,
+                                     flags)
+    for b in range(8):
+        ref = np.asarray(profile_hmm_forward(
+            lv[b:b + 1], Ts[b:b + 1], mu[b:b + 1], sd[b:b + 1],
+            np.log(sd[b:b + 1]), Ks[b:b + 1], epb[b:b + 1],
+            flags=int(flags[b])))
+        assert abs(pal[b] - ref[0]) < 2e-3
