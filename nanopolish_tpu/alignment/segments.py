@@ -73,6 +73,50 @@ def _bucket_indices(segments: Sequence[HMMSegment], tq: int, kq: int):
     return buckets
 
 
+def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
+                             indel_bias: float):
+    """TPU fast path (ops/pallas_profile_hmm): one compiled shape per
+    power-of-two event length; clip flags are runtime inputs."""
+    from ..ops.pallas_profile_hmm import profile_hmm_viterbi_pallas
+
+    results: List[Optional[Tuple]] = [None] * len(segments)
+    buckets = {}
+    for i, s in enumerate(segments):
+        tp = 256
+        while tp < len(s.levels):
+            tp *= 2
+        buckets.setdefault(tp, []).append(i)
+    for tp, idxs in buckets.items():
+        for lo in range(0, len(idxs), 256):
+            chunk = idxs[lo:lo + 256]
+            B = len(chunk)
+            K = max(len(segments[si].mu) for si in chunk)
+            levels = np.zeros((B, tp), np.float32)
+            mu = np.zeros((B, K), np.float32)
+            sigma = np.ones((B, K), np.float32)
+            n_events = np.zeros(B, np.int32)
+            n_kmers = np.zeros(B, np.int32)
+            epb = np.full(B, 2.0, np.float32)
+            flags = np.zeros(B, np.int32)
+            for bi, si in enumerate(chunk):
+                s = segments[si]
+                ne, nk = len(s.levels), len(s.mu)
+                levels[bi, :ne] = s.levels
+                mu[bi, :nk] = s.mu
+                sigma[bi, :nk] = s.sigma
+                n_events[bi] = ne
+                n_kmers[bi] = nk
+                epb[bi] = s.events_per_base
+                flags[bi] = s.flags
+            backs = profile_hmm_viterbi_pallas(
+                levels, n_events, mu, sigma,
+                np.log(np.maximum(sigma, 1e-30)), n_kmers, epb, flags,
+                indel_bias)
+            for bi, si in enumerate(chunk):
+                results[si] = backs[bi]
+    return results
+
+
 def viterbi_segments(segments: Sequence[HMMSegment],
                      indel_bias: float = 1.0,
                      t_quantum: int = 128, k_quantum: int = 32,
@@ -81,6 +125,16 @@ def viterbi_segments(segments: Sequence[HMMSegment],
     """Viterbi-align each segment; returns per-segment
     (event_offsets, kmer_idxs, state_string) in forward order
     (profile_hmm_align_r9 semantics, r9.cpp:73-204)."""
+    import os
+
+    import jax
+
+    impl = os.environ.get("NPT_HMM_IMPL", "auto")
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() in ("tpu", "axon"))
+    if use_pallas and segments and all(len(s.mu) <= 256 for s in segments):
+        return _viterbi_segments_pallas(segments, indel_bias)
+
     results: List[Optional[Tuple]] = [None] * len(segments)
     for (T, K, flags), idxs in _bucket_indices(segments, t_quantum, k_quantum).items():
         for lo in range(0, len(idxs), max_batch):

@@ -17,7 +17,11 @@ whole Forward pass as one Pallas program with ONE compiled shape:
 
 Emission/transition math mirrors ops/profile_hmm.py exactly
 (r9.inl:17-76, :199-260); parity is tested against the scan kernel and the
-cell-by-cell NumPy port.
+cell-by-cell NumPy port.  Known divergence: the collapsed K-chain computes
+path scores as (c - j*lp_kk) + k*lp_kk, whose float rounding can resolve
+exactly-tied Viterbi optima differently than incremental addition — only
+observable in degenerate few-event segments; NPT_HMM_IMPL=scan selects the
+bit-exact path.
 """
 
 from __future__ import annotations
@@ -63,19 +67,26 @@ def _shr1(x, fill):
 def _logaddexp(a, b):
     mx = jnp.maximum(a, b)
     mn = jnp.minimum(a, b)
-    return mx + jnp.log1p(jnp.exp(jnp.maximum(mn - mx, -80.0)))
+    return mx + jnp.log(1.0 + jnp.exp(jnp.maximum(mn - mx, -80.0)))
 
 
 def _logcumsumexp(x):
-    """Inclusive prefix logsumexp along lanes (doubling scan)."""
+    """Inclusive prefix logsumexp along lanes.
+
+    Linear-space formulation: one exp + one log per row with a plain
+    prefix-sum between (terms >80 nats below the row max underflow to 0,
+    exactly as exact logsumexp would round them away in f32).
+    """
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(jnp.maximum(x - m, -80.0))
     n = x.shape[1]
     d = 1
     while d < n:
-        shifted = pltpu.roll(x, d, 1)
-        shifted = jnp.where(_iota(n) < d, NEG, shifted)
-        x = _logaddexp(x, shifted)
+        shifted = pltpu.roll(e, d, 1)
+        shifted = jnp.where(_iota(n) < d, 0.0, shifted)
+        e = e + shifted
         d *= 2
-    return x
+    return jnp.log(e) + m
 
 
 def _flank(i_f):
@@ -204,6 +215,8 @@ def _profile_hmm_forward_call(ev, a_tab, b2_tab, c0_tab, nev, nk, trans,
             pltpu.VMEM((B, KP), jnp.float32),
             pltpu.VMEM((B, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() not in ("tpu", "axon"),
     )(ev, a_tab, b2_tab, c0_tab, nev, nk, trans, clips)
 
@@ -272,3 +285,380 @@ def profile_hmm_forward_pallas(levels, n_events, mu, sigma, log_sigma,
 
 def _iota_np(b, n):
     return np.broadcast_to(np.arange(n)[None, :], (b, n))
+
+
+# ---------------------------------------------------------------------------
+# Viterbi + trace kernels (profile_hmm_align fast path)
+# ---------------------------------------------------------------------------
+# Trace encoding per cell:
+#   tr1 byte: low 3 bits = M-state move (HMT_* 0..5), bit 3 = B-state move
+#             (1 = FROM_SAME_B, 0 = FROM_SAME_M)
+#   trk byte: K-state collapsed chain: ((distance to head) << 1) | head_is_B
+#             distance = #PREV_K hops (0 = this lane's direct entry won)
+# Rows are entered at M/B (from the row above) or K (via M's FROM_PREV_K);
+# one chain resolve + one M/B move happens per row — the backtrack kernel
+# emits per-row (k_entry, st_entry, d, head_b, mv) and the host expands the
+# reference's HMMAlignmentState list (r9.cpp:73-204 semantics).
+
+HMT_FROM_SAME_M = 0
+HMT_FROM_PREV_M = 1
+HMT_FROM_SAME_B = 2
+HMT_FROM_PREV_B = 3
+HMT_FROM_PREV_K = 4
+HMT_FROM_SOFT = 5
+
+ST_K, ST_B, ST_M = 0, 1, 2
+
+
+def _vit_kernel(ev_ref, a_ref, b2_ref, c0_ref, nev_ref, nk_ref, tr_ref,
+                clip_ref, tr1_ref, trk_ref, out_ref,
+                m_st, b_st, k_st):
+    i = pl.program_id(0)
+    B = ev_ref.shape[0]
+    lanes = _iota(KP)
+    lanes_f = lanes.astype(jnp.float32)
+
+    nev = nev_ref[:, 0:1]
+    nk = nk_ref[:, 0:1]
+    lp_mk = tr_ref[:, 0:1]
+    lp_mb = tr_ref[:, 1:2]
+    lp_mm_self = tr_ref[:, 2:3]
+    lp_mm_next = tr_ref[:, 3:4]
+    lp_bb = tr_ref[:, 4:5]
+    lp_b3 = tr_ref[:, 5:6]
+    lp_kk = tr_ref[:, 6:7]
+    lp_km = tr_ref[:, 7:8]
+    pre_clip = clip_ref[:, 0:1]
+
+    @pl.when(i == 0)
+    def _():
+        m_st[:] = jnp.full((B, KP), NEG, jnp.float32)
+        b_st[:] = jnp.full((B, KP), NEG, jnp.float32)
+        k_st[:] = jnp.full((B, KP), NEG, jnp.float32)
+
+    k0 = lanes == 0
+
+    def row(r, _):
+        t = i * R + r + 1
+        t_f = jnp.float32(t)
+        active = t <= nev
+        ev = jnp.max(jnp.where(_iota_b(B, R) == r, ev_ref[:, :], NEG),
+                     axis=1, keepdims=True)
+
+        M, Bs, Ks = m_st[:], b_st[:], k_st[:]
+        Mp = _shr1(M, NEG)
+        Bp = _shr1(Bs, NEG)
+        Kp = _shr1(Ks, NEG)
+
+        dev = a_ref[:] * ev - b2_ref[:]
+        em = c0_ref[:] - 0.5 * dev * dev
+
+        soft_ok = (pre_clip > 0.5) | (t == 1)
+        s_soft = jnp.where(k0 & soft_ok & active, _flank(t_f - 1.0), NEG)
+
+        x0 = lp_mm_self + M
+        x1 = lp_mm_next + Mp
+        x2 = lp_b3 + Bs
+        x3 = lp_b3 + Bp
+        x4 = lp_km + Kp
+        x5 = s_soft
+        m_in = jnp.maximum(jnp.maximum(jnp.maximum(x0, x1),
+                                       jnp.maximum(x2, x3)),
+                           jnp.maximum(x4, x5))
+        # LAST equal index wins (r9.inl:140-146)
+        trM = jnp.zeros((B, KP), jnp.int32)
+        trM = jnp.where(x1 == m_in, HMT_FROM_PREV_M, trM)
+        trM = jnp.where(x2 == m_in, HMT_FROM_SAME_B, trM)
+        trM = jnp.where(x3 == m_in, HMT_FROM_PREV_B, trM)
+        trM = jnp.where(x4 == m_in, HMT_FROM_PREV_K, trM)
+        trM = jnp.where(x5 == m_in, HMT_FROM_SOFT, trM)
+        M_new = m_in + em
+
+        b0 = lp_mb + M
+        b2v = lp_bb + Bs
+        B_new = jnp.maximum(b0, b2v)
+        trB = (b2v == B_new).astype(jnp.int32)
+
+        cM = lp_mk + _shr1(M_new, NEG)
+        cB = lp_b3 + _shr1(B_new, NEG)
+        c = jnp.maximum(cM, cB)
+        head_b = (cB >= cM).astype(jnp.int32)
+        z = c - lanes_f * lp_kk
+        # (max,+) prefix with leftmost-strict-winner head recovery
+        p_inc = z
+        d = 1
+        while d < KP:
+            sh = pltpu.roll(p_inc, d, 1)
+            sh = jnp.where(_iota(KP) < d, NEG, sh)
+            p_inc = jnp.maximum(p_inc, sh)
+            d *= 2
+        p_exc = _shr1(p_inc, NEG)
+        K_new = jnp.maximum(z, p_exc) + lanes_f * lp_kk
+        head = z > p_exc
+        hsrc = jnp.where(head, lanes, -1)
+        d = 1
+        while d < KP:
+            sh = pltpu.roll(hsrc, d, 1)
+            sh = jnp.where(_iota(KP) < d, -1, sh)
+            hsrc = jnp.maximum(hsrc, sh)
+            d *= 2
+        # distance from each lane to its chain head (clamped to 126)
+        dist = jnp.clip(lanes - hsrc, 0, 126)
+
+        # head_b must be sampled AT the head lane; gather-by-roll:
+        # head_b_chain[k] = head_b[hsrc[k]].  hsrc = k - dist, so roll
+        # head_b right by each power of two where the distance bit is set.
+        hbv = head_b
+        bit = 1
+        while bit < KP:
+            rolled = pltpu.roll(hbv, bit, 1)
+            rolled = jnp.where(_iota(KP) < bit, 0, rolled)
+            hbv = jnp.where((dist & bit) > 0, rolled, hbv)
+            bit *= 2
+
+        tr1 = (trM | (trB << 3)).astype(jnp.uint8)
+        trk = ((dist << 1) | hbv).astype(jnp.uint8)
+        tr1_ref[r, :, :] = tr1
+        trk_ref[r, :, :] = trk
+
+        m_st[:] = jnp.where(active, M_new, M)
+        b_st[:] = jnp.where(active, B_new, Bs)
+        k_st[:] = jnp.where(active, K_new, Ks)
+        return 0
+
+    jax.lax.fori_loop(0, R, row, 0, unroll=False)
+    out_ref[:] = m_st[:, 0:1]
+
+
+def _vit_backtrack_kernel(tr1_ref, trk_ref, nev_ref, nk_ref,
+                          ke_ref, meta_ref,
+                          cur_k, cur_st, cur_e, done):
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    B = nev_ref.shape[0]
+    lanes = _iota_b(B, KP)
+
+    @pl.when(i == 0)
+    def _():
+        cur_k[:] = nk_ref[:, 0:1] - 1
+        cur_st[:] = jnp.full((B, 1), ST_M, jnp.int32)
+        cur_e[:] = nev_ref[:, 0:1]
+        done[:] = nev_ref[:, 0:1] < 1
+
+    def row(r_rev, _):
+        r = R - 1 - r_rev
+        t = (n_steps - 1 - i) * R + r + 1
+        act = jnp.logical_not(done[:]) & (cur_e[:] == t)
+
+        tr1_row = tr1_ref[r, :, :].astype(jnp.int32)
+        trk_row = trk_ref[r, :, :].astype(jnp.int32)
+
+        k_entry = cur_k[:]
+        st_entry = cur_st[:]
+
+        # --- resolve a K-chain entry (same row) ---
+        is_k = act & (st_entry == ST_K)
+        trk_v = jnp.max(jnp.where(lanes == k_entry, trk_row, 0),
+                        axis=1, keepdims=True)
+        dist = trk_v >> 1
+        head_b = trk_v & 1
+        k_mb = jnp.where(is_k, k_entry - dist - 1, k_entry)
+        st_mb = jnp.where(is_k, jnp.where(head_b > 0, ST_B, ST_M), st_entry)
+
+        # --- one M/B move (consumes the row) ---
+        tr1_v = jnp.max(jnp.where(lanes == jnp.clip(k_mb, 0, KP - 1),
+                                  tr1_row, 0), axis=1, keepdims=True)
+        trM = tr1_v & 7
+        trB = (tr1_v >> 3) & 1
+        is_m = st_mb == ST_M
+        mv = jnp.where(is_m, trM,
+                       jnp.where(trB > 0, HMT_FROM_SAME_B, HMT_FROM_SAME_M))
+        soft = act & is_m & (mv == HMT_FROM_SOFT)
+
+        nxt_st = jnp.where((mv == HMT_FROM_SAME_M) | (mv == HMT_FROM_PREV_M),
+                           ST_M,
+                           jnp.where((mv == HMT_FROM_SAME_B)
+                                     | (mv == HMT_FROM_PREV_B), ST_B, ST_K))
+        dec = (mv == HMT_FROM_PREV_M) | (mv == HMT_FROM_PREV_B) | \
+            (mv == HMT_FROM_PREV_K)
+        nxt_k = k_mb - dec.astype(jnp.int32)
+
+        ke_ref[r, :] = jnp.where(act, k_entry, -1)[:, 0]
+        meta = (st_entry | (jnp.where(is_k, dist, 0) << 2)
+                | (jnp.where(is_k, head_b, 0) << 10)
+                | (soft.astype(jnp.int32) << 11)
+                | (jnp.where(act, mv, 0) << 12))
+        meta_ref[r, :] = jnp.where(act, meta, -1)[:, 0]
+
+        step = act & jnp.logical_not(soft)
+        cur_e[:] = jnp.where(step, cur_e[:] - 1, cur_e[:])
+        cur_k[:] = jnp.where(step, nxt_k, cur_k[:])
+        cur_st[:] = jnp.where(step, nxt_st, cur_st[:])
+        done[:] = done[:] | soft | (step & (nxt_k < 0)) | \
+            (step & (cur_e[:] < 1))
+        return 0
+
+    jax.lax.fori_loop(0, R, row, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _profile_hmm_viterbi_call(ev, a_tab, b2_tab, c0_tab, nev, nk, trans,
+                              clips):
+    B, TP = ev.shape
+    grid = TP // R
+    vmem = pltpu.VMEM
+    tr1, trk, _ = pl.pallas_call(
+        _vit_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((B, R), lambda i: (0, i), memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, B, KP), lambda i: (i, 0, 0), memory_space=vmem),
+            pl.BlockSpec((R, B, KP), lambda i: (i, 0, 0), memory_space=vmem),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=vmem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((TP, B, KP), jnp.uint8),
+            jax.ShapeDtypeStruct((TP, B, KP), jnp.uint8),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, KP), jnp.float32),
+            pltpu.VMEM((B, KP), jnp.float32),
+            pltpu.VMEM((B, KP), jnp.float32),
+        ],
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(ev, a_tab, b2_tab, c0_tab, nev, nk, trans, clips)
+
+    grid_b = TP // R
+    rev3 = lambda i: (grid_b - 1 - i, 0, 0)
+    rev2 = lambda i: (grid_b - 1 - i, 0)
+    ke, meta = pl.pallas_call(
+        _vit_backtrack_kernel,
+        grid=(grid_b,),
+        in_specs=[
+            pl.BlockSpec((R, B, KP), rev3, memory_space=vmem),
+            pl.BlockSpec((R, B, KP), rev3, memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, B), rev2, memory_space=vmem),
+            pl.BlockSpec((R, B), rev2, memory_space=vmem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((TP, B), jnp.int32),
+            jax.ShapeDtypeStruct((TP, B), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, 1), jnp.int32),
+            pltpu.VMEM((B, 1), jnp.int32),
+            pltpu.VMEM((B, 1), jnp.int32),
+            pltpu.VMEM((B, 1), jnp.bool_),
+        ],
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(tr1, trk, nev, nk)
+    return ke, meta
+
+
+def _expand_backtrack(ke, meta, n_events, n_kmers):
+    """Per-segment (event_offsets, kmer_idxs, state_string) in forward
+    order from the kernel's per-row (k_entry, meta) emissions."""
+    out = []
+    T, B = ke.shape
+    for b in range(B):
+        evs: List[int] = []
+        kms: List[int] = []
+        chars: List[str] = []
+        for t in range(int(n_events[b]), 0, -1):
+            k_entry = int(ke[t - 1, b])
+            if k_entry < 0:
+                continue
+            m = int(meta[t - 1, b])
+            st_entry = m & 3
+            dist = (m >> 2) & 0xFF
+            head_b = (m >> 10) & 1
+            soft = (m >> 11) & 1
+            ev_off = t - 1
+            if st_entry == ST_K:
+                for kk in range(k_entry, k_entry - dist - 1, -1):
+                    evs.append(ev_off)
+                    kms.append(kk)
+                    chars.append("K")
+                evs.append(ev_off)
+                kms.append(k_entry - dist - 1)
+                chars.append("B" if head_b else "M")
+            else:
+                evs.append(ev_off)
+                kms.append(k_entry)
+                chars.append("M" if st_entry == ST_M else "B")
+            if soft:
+                break
+        evs.reverse()
+        kms.reverse()
+        chars.reverse()
+        out.append((np.asarray(evs, np.int32), np.asarray(kms, np.int32),
+                    "".join(chars)))
+    return out
+
+
+def profile_hmm_viterbi_pallas(levels, n_events, mu, sigma, log_sigma,
+                               n_kmers, events_per_base, flags,
+                               indel_bias: float = 1.0):
+    """Batched Viterbi alignment via the Pallas kernels; returns the same
+    per-segment backtracks as ops.profile_hmm.viterbi_backtrack."""
+    levels = np.asarray(levels, np.float32)
+    mu = np.asarray(mu, np.float32)
+    sigma = np.asarray(sigma, np.float32)
+    log_sigma = np.asarray(log_sigma, np.float32)
+    n_events = np.asarray(n_events, np.int32)
+    n_kmers = np.asarray(n_kmers, np.int32)
+    flags = np.broadcast_to(np.asarray(flags, np.int32), n_events.shape)
+
+    B0, T0 = levels.shape
+    K0 = mu.shape[1]
+    assert K0 <= KP
+    B = _pad_to(B0, 8)
+    TP = _pad_to(T0, R)
+
+    ev = np.zeros((B, TP), np.float32)
+    ev[:B0, :T0] = levels
+    kmask = _iota_np(B, KP) < np.pad(n_kmers, (0, B - B0))[:, None]
+    a_tab = np.zeros((B, KP), np.float32)
+    b2_tab = np.zeros((B, KP), np.float32)
+    c0_tab = np.full((B, KP), NEG, np.float32)
+    inv = 1.0 / np.maximum(sigma, 1e-30)
+    a_tab[:B0, :K0] = inv
+    b2_tab[:B0, :K0] = mu * inv
+    c0_tab[:B0, :K0] = LOG_INV_SQRT_2PI - log_sigma
+    a_tab = np.where(kmask, a_tab, 0.0)
+    b2_tab = np.where(kmask, b2_tab, 0.0)
+    c0_tab = np.where(kmask, c0_tab, NEG)
+
+    nev = np.ones((B, 1), np.int32)
+    nev[:B0, 0] = np.maximum(n_events, 1)
+    nk = np.ones((B, 1), np.int32)
+    nk[:B0, 0] = np.maximum(n_kmers, 1)
+
+    tr = make_transitions(np.pad(np.asarray(events_per_base, np.float32),
+                                 (0, B - B0), constant_values=2.0),
+                          indel_bias)
+    trans = np.stack([np.asarray(v, np.float32) for v in
+                      (tr.lp_mk, tr.lp_mb, tr.lp_mm_self, tr.lp_mm_next,
+                       tr.lp_bb, tr.lp_bk, tr.lp_kk, tr.lp_km)], axis=1)
+    clips = np.zeros((B, 2), np.float32)
+    clips[:B0, 0] = (flags & HAF_ALLOW_PRE_CLIP) > 0
+    clips[:B0, 1] = (flags & HAF_ALLOW_POST_CLIP) > 0
+
+    ke, meta = _profile_hmm_viterbi_call(ev, a_tab, b2_tab, c0_tab, nev, nk,
+                                         trans, clips)
+    return _expand_backtrack(np.asarray(ke), np.asarray(meta),
+                             nev[:, 0], nk[:, 0])[:B0]

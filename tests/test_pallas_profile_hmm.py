@@ -50,3 +50,22 @@ def test_pallas_forward_mixed_flags_one_call():
             np.log(sd[b:b + 1]), Ks[b:b + 1], epb[b:b + 1],
             flags=int(flags[b])))
         assert abs(pal[b] - ref[0]) < 2e-3
+
+
+@pytest.mark.parametrize("flags", [0, 3])
+def test_pallas_viterbi_matches_scan_backtrack(flags):
+    from nanopolish_tpu.ops.pallas_profile_hmm import profile_hmm_viterbi_pallas
+    from nanopolish_tpu.ops.profile_hmm import (profile_hmm_viterbi,
+                                                viterbi_backtrack)
+    lv, Ts, mu, sd, Ks, epb = _batch(4, 120, 220, seed=20 + flags)
+    _, traces = profile_hmm_viterbi(lv, Ts, mu, sd, np.log(sd), Ks, epb,
+                                    flags=flags, with_trace=True)
+    ref = viterbi_backtrack(np.asarray(traces), Ts, Ks)
+    pal = profile_hmm_viterbi_pallas(lv, Ts, mu, sd, np.log(sd), Ks, epb,
+                                     flags)
+    for b in range(4):
+        re, rk, rs = ref[b]
+        pe, pk, ps = pal[b]
+        assert rs == ps
+        np.testing.assert_array_equal(re, pe)
+        np.testing.assert_array_equal(rk, pk)
