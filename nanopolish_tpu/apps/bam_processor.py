@@ -37,12 +37,18 @@ class BamBatchProcessor:
     def __init__(self, bam_path: str, region: str = "",
                  batch_size: int = DEFAULT_BATCH_SIZE,
                  min_mapping_quality: int = 0,
-                 max_reads: Optional[int] = None):
+                 max_reads: Optional[int] = None,
+                 shard_index: int = 0, shard_total: int = 1):
         self.reader = BamReader(bam_path)
         self.region = region
         self.batch_size = batch_size
         self.min_mapping_quality = min_mapping_quality
         self.max_reads = max_reads
+        # process-level sharding by record index (the reference's
+        # file-suffix-mod-N watch-mode pattern, call_methylation.cpp:489-508,
+        # generalized to any run)
+        self.shard_index = shard_index
+        self.shard_total = shard_total
         self.clip_start = -1
         self.clip_end = -1
         if region:
@@ -81,7 +87,9 @@ class BamBatchProcessor:
         for rec in self._records():
             idx = n
             n += 1
-            if (not rec.is_unmapped) and rec.mapq >= self.min_mapping_quality:
+            in_shard = (idx % self.shard_total) == self.shard_index
+            if in_shard and (not rec.is_unmapped) and \
+                    rec.mapq >= self.min_mapping_quality:
                 buf.append((idx, rec))
             if n % self.batch_size == 0:
                 yield buf

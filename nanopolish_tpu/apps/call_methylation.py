@@ -337,6 +337,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-flank", type=int, default=10)
     p.add_argument("--models-fofn", default="")
     p.add_argument("--max-reads", type=int, default=None)
+    p.add_argument("--shard", default="0/1",
+                   help="process shard as index/total (e.g. 2/8)")
     p.add_argument("--modbam-output-name", default="")
     p.add_argument("--modbam-style", default="reference",
                    choices=["read", "reference"])
@@ -383,10 +385,13 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     read_db = ReadDB()
     read_db.load(opt.reads)
     fai = FastaIndex(opt.genome)
+    shard_index, shard_total = (int(x) for x in opt.shard.split("/"))
     proc = BamBatchProcessor(opt.bam, region=opt.window,
                              batch_size=opt.batchsize,
                              min_mapping_quality=opt.min_mapping_quality,
-                             max_reads=opt.max_reads)
+                             max_reads=opt.max_reads,
+                             shard_index=shard_index,
+                             shard_total=shard_total)
     region_start = proc.clip_start if opt.window else -1
     region_end = proc.clip_end if (opt.window and proc.clip_end >= 0) else -1
 

@@ -220,6 +220,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--models-fofn", default="")
     p.add_argument("--batchsize", type=int, default=512)
     p.add_argument("--max-reads", type=int, default=None)
+    p.add_argument("--shard", default="0/1",
+                   help="process shard as index/total (e.g. 2/8)")
     return p
 
 
@@ -235,10 +237,13 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     read_db.load(opt.reads)
     fai = FastaIndex(opt.genome)
 
+    shard_index, shard_total = (int(x) for x in opt.shard.split("/"))
     proc = BamBatchProcessor(opt.bam, region=opt.window,
                              batch_size=opt.batchsize,
                              min_mapping_quality=opt.min_mapping_quality,
-                             max_reads=opt.max_reads)
+                             max_reads=opt.max_reads,
+                             shard_index=shard_index,
+                             shard_total=shard_total)
     summary_fp = open(opt.summary, "w") if opt.summary else None
     if summary_fp:
         summary_fp.write(

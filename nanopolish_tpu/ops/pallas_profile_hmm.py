@@ -38,8 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .emissions import LOG_INV_SQRT_2PI
 from .profile_hmm import (HAF_ALLOW_POST_CLIP, HAF_ALLOW_PRE_CLIP, LOG_BG,
-                          TRANS_CLIP_SELF, TRANS_START_TO_CLIP,
-                          make_transitions)
+                          TRANS_CLIP_SELF, TRANS_START_TO_CLIP)
 
 KP = 256         # kmer lanes
 R = 128          # rows per grid step
@@ -97,14 +96,16 @@ def _flank(i_f):
 
 def _fwd_kernel(ev_ref, a_ref, b2_ref, c0_ref, nev_ref, nk_ref, tr_ref,
                 clip_ref, out_ref, m_st, b_st, k_st, end_st):
+    """NOTE on shapes: Mosaic scalarizes [B,1]-shaped logical/select ops
+    (~16us each at B=512), so every mask/select here is computed at full
+    [B,KP] width; [B,1] values only ever feed arithmetic broadcasts."""
     i = pl.program_id(0)
     B = ev_ref.shape[0]
     lanes = _iota(KP)
-    lanes_f = lanes.astype(jnp.float32)
     lanes_b = _iota_b(B, KP)
+    lanes_fb = lanes_b.astype(jnp.float32)
 
     nev = nev_ref[:, 0:1]
-    nev_f = nev.astype(jnp.float32)
     nk = nk_ref[:, 0:1]
     lp_mk = tr_ref[:, 0:1]
     lp_mb = tr_ref[:, 1:2]
@@ -114,24 +115,28 @@ def _fwd_kernel(ev_ref, a_ref, b2_ref, c0_ref, nev_ref, nk_ref, tr_ref,
     lp_b3 = tr_ref[:, 5:6]
     lp_kk = tr_ref[:, 6:7]
     lp_km = tr_ref[:, 7:8]
-    pre_clip = clip_ref[:, 0:1]          # 1.0 / 0.0
-    post_clip = clip_ref[:, 1:2]
+
+    # full-width per-segment constants (hoisted; avoids [B,1] logical ops)
+    nev_w = jnp.broadcast_to(nev, (B, KP))
+    nev_wf = nev_w.astype(jnp.float32)
+    last_w = lanes_b == (jnp.broadcast_to(nk, (B, KP)) - 1)
+    pre_w = jnp.broadcast_to(clip_ref[:, 0:1] > 0.5, (B, KP))
+    post_w = jnp.broadcast_to(clip_ref[:, 1:2] > 0.5, (B, KP))
+    k0_w = lanes_b == 0
 
     @pl.when(i == 0)
     def _():
         m_st[:] = jnp.full((B, KP), NEG, jnp.float32)
         b_st[:] = jnp.full((B, KP), NEG, jnp.float32)
         k_st[:] = jnp.full((B, KP), NEG, jnp.float32)
-        end_st[:] = jnp.full((B, 1), NEG, jnp.float32)
-
-    k0 = lanes == 0
+        end_st[:] = jnp.full((B, KP), NEG, jnp.float32)
 
     def row(r, _):
         t = i * R + r + 1                                    # 1-based row
         t_f = jnp.float32(t)
-        active = t <= nev                                    # [B,1]
+        active_w = t <= nev_w                                # [B,KP]
         ev = jnp.max(jnp.where(_iota_b(B, R) == r, ev_ref[:, :], NEG),
-                     axis=1, keepdims=True)
+                     axis=1, keepdims=True)                  # [B,1] (arith only)
 
         M, Bs, Ks = m_st[:], b_st[:], k_st[:]
         Mp = _shr1(M, NEG)
@@ -141,9 +146,9 @@ def _fwd_kernel(ev_ref, a_ref, b2_ref, c0_ref, nev_ref, nk_ref, tr_ref,
         dev = a_ref[:] * ev - b2_ref[:]
         em = c0_ref[:] - 0.5 * dev * dev
 
-        soft_ok = (pre_clip > 0.5) | (t == 1)
-        pre_val = _flank(t_f - 1.0)
-        s_soft = jnp.where(k0 & soft_ok & active, pre_val, NEG)
+        soft_ok_w = pre_w | (t == 1)
+        s_soft = jnp.where(k0_w & soft_ok_w & active_w,
+                           _flank(t_f - 1.0), NEG)
 
         x0 = lp_mm_self + M
         x1 = lp_mm_next + Mp
@@ -165,27 +170,23 @@ def _fwd_kernel(ev_ref, a_ref, b2_ref, c0_ref, nev_ref, nk_ref, tr_ref,
         B_new = _logaddexp(lp_mb + M, lp_bb + Bs)
 
         c = _logaddexp(lp_mk + _shr1(M_new, NEG), lp_b3 + _shr1(B_new, NEG))
-        z = c - lanes_f * lp_kk
-        K_new = _logcumsumexp(z) + lanes_f * lp_kk
+        z = c - lanes_fb * lp_kk
+        K_new = _logcumsumexp(z) + lanes_fb * lp_kk
 
-        # end contributions (r9.inl:385-396)
-        lane_last = nk - 1
-        pick = lanes_b == lane_last
-        m_last = jnp.max(jnp.where(pick, M_new, NEG), axis=1, keepdims=True)
-        b_last = jnp.max(jnp.where(pick, B_new, NEG), axis=1, keepdims=True)
-        k_last = jnp.max(jnp.where(pick, K_new, NEG), axis=1, keepdims=True)
-        post = _flank(nev_f - t_f)
-        cand = _logaddexp(_logaddexp(m_last, b_last), k_last) + post
-        allowed = active & ((post_clip > 0.5) | (t == nev))
-        end_st[:] = jnp.where(allowed, _logaddexp(end_st[:], cand), end_st[:])
+        # end contributions at full width, accumulated on the last-kmer lane
+        post_flank = _flank(nev_wf - t_f)                    # [B,KP]
+        s3 = _logaddexp(_logaddexp(M_new, B_new), K_new)
+        allowed_w = active_w & (post_w | (t == nev_w))
+        cand = jnp.where(last_w & allowed_w, s3 + post_flank, NEG)
+        end_st[:] = _logaddexp(end_st[:], cand)
 
-        m_st[:] = jnp.where(active, M_new, M)
-        b_st[:] = jnp.where(active, B_new, Bs)
-        k_st[:] = jnp.where(active, K_new, Ks)
+        m_st[:] = jnp.where(active_w, M_new, M)
+        b_st[:] = jnp.where(active_w, B_new, Bs)
+        k_st[:] = jnp.where(active_w, K_new, Ks)
         return 0
 
     jax.lax.fori_loop(0, R, row, 0, unroll=False)
-    out_ref[:] = end_st[:]
+    out_ref[:] = jnp.max(end_st[:], axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -213,12 +214,31 @@ def _profile_hmm_forward_call(ev, a_tab, b2_tab, c0_tab, nev, nk, trans,
             pltpu.VMEM((B, KP), jnp.float32),
             pltpu.VMEM((B, KP), jnp.float32),
             pltpu.VMEM((B, KP), jnp.float32),
-            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, KP), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() not in ("tpu", "axon"),
     )(ev, a_tab, b2_tab, c0_tab, nev, nk, trans, clips)
+
+
+def _np_transitions(events_per_base, indel_bias: float,
+                    p_skip=0.0025, p_bad=0.001, p_skip_self=0.3):
+    """make_transitions in pure numpy (r9.inl:17-76): jnp here would issue
+    a device dispatch per op — hundreds of ms of RTT on remote chips."""
+    epb = np.maximum(1.25, np.asarray(events_per_base, np.float64) * indel_bias)
+    p_stay = 1.0 - 1.0 / epb
+    p_mm_next = 1.0 - p_stay - p_skip - p_bad
+    p_b3 = (1.0 - p_bad) / 3.0
+    cols = [np.full_like(p_stay, np.log(p_skip)),        # lp_mk
+            np.full_like(p_stay, np.log(p_bad)),         # lp_mb
+            np.log(p_stay),                              # lp_mm_self
+            np.log(p_mm_next),                           # lp_mm_next
+            np.full_like(p_stay, np.log(p_bad)),         # lp_bb
+            np.full_like(p_stay, np.log(p_b3)),          # lp_b3 (= lp_bk)
+            np.full_like(p_stay, np.log(p_skip_self)),   # lp_kk
+            np.full_like(p_stay, np.log(1 - p_skip_self))]  # lp_km
+    return np.stack(cols, axis=1).astype(np.float32)
 
 
 def _pad_to(n, q):
@@ -267,13 +287,9 @@ def profile_hmm_forward_pallas(levels, n_events, mu, sigma, log_sigma,
     nk = np.ones((B, 1), np.int32)
     nk[:B0, 0] = np.maximum(n_kmers, 1)
 
-    tr = make_transitions(np.pad(np.asarray(events_per_base, np.float32),
-                                 (0, B - B0), constant_values=2.0),
-                          indel_bias)
-    trans = np.stack([np.asarray(v, np.float32) for v in
-                      (tr.lp_mk, tr.lp_mb, tr.lp_mm_self, tr.lp_mm_next,
-                       tr.lp_bb, tr.lp_bk, tr.lp_kk, tr.lp_km)],
-                     axis=1)
+    trans = _np_transitions(
+        np.pad(np.asarray(events_per_base, np.float32), (0, B - B0),
+               constant_values=2.0), indel_bias)
     clips = np.zeros((B, 2), np.float32)
     clips[:B0, 0] = (flags & HAF_ALLOW_PRE_CLIP) > 0
     clips[:B0, 1] = (flags & HAF_ALLOW_POST_CLIP) > 0
@@ -648,12 +664,9 @@ def profile_hmm_viterbi_pallas(levels, n_events, mu, sigma, log_sigma,
     nk = np.ones((B, 1), np.int32)
     nk[:B0, 0] = np.maximum(n_kmers, 1)
 
-    tr = make_transitions(np.pad(np.asarray(events_per_base, np.float32),
-                                 (0, B - B0), constant_values=2.0),
-                          indel_bias)
-    trans = np.stack([np.asarray(v, np.float32) for v in
-                      (tr.lp_mk, tr.lp_mb, tr.lp_mm_self, tr.lp_mm_next,
-                       tr.lp_bb, tr.lp_bk, tr.lp_kk, tr.lp_km)], axis=1)
+    trans = _np_transitions(
+        np.pad(np.asarray(events_per_base, np.float32), (0, B - B0),
+               constant_values=2.0), indel_bias)
     clips = np.zeros((B, 2), np.float32)
     clips[:B0, 0] = (flags & HAF_ALLOW_PRE_CLIP) > 0
     clips[:B0, 1] = (flags & HAF_ALLOW_POST_CLIP) > 0

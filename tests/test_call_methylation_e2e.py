@@ -155,3 +155,19 @@ def test_call_methylation_modbam(meth_pipeline, tmp_path):
     recs2 = list(BamReader(modbam2))
     assert len(recs2) == 4
     assert all("Mm" in rc.tags for rc in recs2)
+
+
+def test_call_methylation_sharding(meth_pipeline):
+    """--shard i/N partitions reads disjointly; union == full output."""
+    p = meth_pipeline
+    full = io.StringIO()
+    cm_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"]],
+                stdout=full)
+    full_rows = sorted(full.getvalue().splitlines()[1:])
+    shard_rows = []
+    for i in range(2):
+        out = io.StringIO()
+        cm_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"],
+                     "--shard", f"{i}/2"], stdout=out)
+        shard_rows += out.getvalue().splitlines()[1:]
+    assert sorted(shard_rows) == full_rows
