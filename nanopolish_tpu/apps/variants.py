@@ -54,6 +54,7 @@ class Opts:
     genotype_only = False
     snps_only = False
     fix_homopolymers = False
+    calculate_all_support = False
     methylation_types: List[str] = []
 
 
@@ -261,6 +262,55 @@ def dedup_sorted(variants: List[Variant]) -> List[Variant]:
     out = list(seen.values())
     out.sort(key=lambda v: (v.ref_position, v.ref_seq, v.alt_seq))
     return out
+
+
+def annotate_variants_with_all_support(variants, alignments: AlignmentDB,
+                                       opts: Opts):
+    """--calculate-all-support (nanopolish_variant.cpp:802-880): per SNP,
+    the read-support fraction of each of A/C/G/T, batched on device."""
+    ref_hap = Haplotype(alignments.get_region_contig(),
+                        alignments.get_region_start(),
+                        alignments.get_reference())
+    b = ScoreBatcher()
+    jobs = []
+    for v in variants:
+        calling_start = v.ref_position - opts.min_flanking_sequence
+        calling_end = v.ref_position + opts.min_flanking_sequence
+        if not alignments.are_coordinates_valid(v.ref_name, calling_start,
+                                                calling_end):
+            jobs.append(None)
+            continue
+        calling_hap = ref_hap.substr_by_reference(calling_start, calling_end)
+        events = alignments.get_event_subsequences(v.ref_name, calling_start,
+                                                   calling_end)
+        units = []
+        for base in "ACGT":
+            var_hap = Haplotype(calling_hap.ref_name, calling_hap.ref_position,
+                                calling_hap.get_reference())
+            var_hap.sequence = calling_hap.sequence
+            var_hap.coordinate_map = list(calling_hap.coordinate_map)
+            tmp = Variant(ref_name=v.ref_name, ref_position=v.ref_position,
+                          ref_seq=v.ref_seq, alt_seq=base)
+            if base != v.ref_seq:
+                var_hap.apply_variant(tmp)
+            seqs = [HMMInputSequence(var_hap.get_sequence())]
+            units.append([b.add(seqs, ev) for ev in events])
+        jobs.append(units)
+    b.flush()
+    for v, units in zip(variants, jobs):
+        if units is None:
+            continue
+        n_events = len(units[0])
+        support = np.zeros(4)
+        for ri in range(n_events):
+            scores = np.array([b.get(units[bi][ri]) for bi in range(4)])
+            m = scores.max()
+            p = np.exp(scores - m)
+            support += p / p.sum()
+        if n_events:
+            support /= n_events
+        v.add_info("SupportFractionByBase",
+                   ",".join(f"{x:.3f}" for x in support))
 
 
 # ---------------------------------------------------------------------------
@@ -631,6 +681,9 @@ def call_haplotype_from_candidates(alignments: AlignmentDB,
     for gi in range(db.get_num_groups()):
         called = simple_call(db.get_group(gi), opts.ploidy,
                              opts.genotype_only)
+        if opts.calculate_all_support:
+            annotate_variants_with_all_support(
+                [v for v in called if v.is_snp()], alignments, opts)
         for v in called:
             derived.apply_variant(v)
     return derived
@@ -716,6 +769,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-flanking-sequence", type=int, default=30)
     p.add_argument("--snps", action="store_true")
     p.add_argument("--fix-homopolymers", action="store_true")
+    p.add_argument("--calculate-all-support", action="store_true")
     p.add_argument("--models-fofn", default="")
     return p
 
@@ -736,6 +790,7 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     opts.min_flanking_sequence = opt.min_flanking_sequence
     opts.snps_only = opt.snps
     opts.fix_homopolymers = opt.fix_homopolymers
+    opts.calculate_all_support = opt.calculate_all_support
     if opt.faster:
         opts.screen_score_threshold = 25
     if opt.effort is not None:

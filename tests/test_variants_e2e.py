@@ -127,3 +127,24 @@ def test_variants_consensus_fix_homopolymers_no_harm(consensus_pipeline):
     polished = out.getvalue().splitlines()[1]
     BUF = 45
     assert p["truth"][BUF:DRAFT_LEN - BUF] in polished
+
+
+def test_variants_calculate_all_support(consensus_pipeline):
+    import io as _io
+    p = consensus_pipeline
+    vcf_path = str(p["dir"] / "polished_sup.vcf")
+    var_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["draft_fa"],
+                  "-w", f"tig1:0-{DRAFT_LEN - 1}", "--consensus",
+                  "--calculate-all-support", "-o", vcf_path, "-d", "10"])
+    lines = [l for l in open(vcf_path) if not l.startswith("#")]
+    snp = [l for l in lines
+           if len(l.split("\t")[3]) == 1 and len(l.split("\t")[4]) == 1]
+    assert snp
+    info = snp[0].split("\t")[7]
+    assert "SupportFractionByBase=" in info
+    fracs = [float(x) for x in
+             info.split("SupportFractionByBase=")[1].split(";")[0].split(",")]
+    assert len(fracs) == 4 and abs(sum(fracs) - 1.0) < 0.05
+    # the truth base should dominate
+    alt = snp[0].split("\t")[4]
+    assert fracs["ACGT".index(alt)] > 0.5
