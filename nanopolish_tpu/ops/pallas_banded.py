@@ -540,3 +540,64 @@ def banded_align_pallas(event_mean, n_events, mu, sigma, log_sigma, n_kmers,
     if Bp != B:
         res = PallasBandedResult(*(v[:B] for v in res))
     return res
+
+
+@functools.partial(jax.jit, static_argnames=("Tp", "Kp", "K0", "interpret"))
+def _banded_align_device_packed(packed, Tp, Kp, K0, interpret=False):
+    """Unpack one [Bp, Tp+3*Kp+4] f32 array into the kernel inputs on
+    device.  Slicing/bitcasting on device is free next to the DP; the
+    point is ONE host->device transfer per call instead of eight (each
+    transfer costs a relay round trip on remotely-attached chips)."""
+    o = 0
+    ev = packed[:, o:o + Tp]; o += Tp
+    a_tab = packed[:, o:o + Kp]; o += Kp
+    b2_tab = packed[:, o:o + Kp]; o += Kp
+    c0_tab = packed[:, o:o + Kp]; o += Kp
+    nev = jax.lax.bitcast_convert_type(packed[:, o:o + 1], jnp.int32); o += 1
+    nk = jax.lax.bitcast_convert_type(packed[:, o:o + 1], jnp.int32); o += 1
+    lp_stay = packed[:, o:o + 1]; o += 1
+    lp_step = packed[:, o:o + 1]
+    return _banded_align_device(ev, a_tab, b2_tab, c0_tab, nev, nk,
+                                lp_stay, lp_step, K0, interpret=interpret)
+
+
+def pack_banded_inputs(event_mean, n_events, mu, sigma, log_sigma, n_kmers):
+    """Host-side packing for banded_align_pallas_packed: returns
+    (packed [Bp, Tp+3*Kp+4] f32, Tp, Kp, K0)."""
+    event_mean = np.asarray(event_mean, np.float32)
+    n_events = np.asarray(n_events, np.int32)
+    n_kmers = np.asarray(n_kmers, np.int32)
+    B, T0 = event_mean.shape
+    K0 = mu.shape[1]
+    Bp = _pad_to(B, 8)
+    Tp = _pad_to(T0, R)
+    a_tab, b2_tab, c0_tab = prepare_tables(mu, sigma, log_sigma, n_kmers)
+    Kp = a_tab.shape[1]
+    packed = np.zeros((Bp, Tp + 3 * Kp + 4), np.float32)
+    packed[:B, :T0] = event_mean
+    packed[:B, Tp:Tp + Kp] = a_tab
+    packed[:B, Tp + Kp:Tp + 2 * Kp] = b2_tab
+    packed[:, Tp + 2 * Kp:Tp + 3 * Kp] = NEG
+    packed[:B, Tp + 2 * Kp:Tp + 3 * Kp] = c0_tab
+    o = Tp + 3 * Kp
+    nev = np.zeros((Bp,), np.int32)
+    nev[:B] = n_events
+    nk = np.full((Bp,), 2, np.int32)
+    nk[:B] = np.maximum(n_kmers, 2)
+    packed[:, o] = nev.view(np.float32)
+    packed[:, o + 1] = nk.view(np.float32)
+    lp_stay, lp_step = transition_params(nev, nk)
+    packed[:, o + 2] = lp_stay[:, 0]
+    packed[:, o + 3] = lp_step[:, 0]
+    return packed, Tp, Kp, K0
+
+
+def banded_align_pallas_packed(packed, Tp, Kp, K0, B=None, interpret=None):
+    """Single-transfer variant of banded_align_pallas: feed the output of
+    pack_banded_inputs.  Numerically identical (device-side slicing)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    res = _banded_align_device_packed(packed, Tp, Kp, K0, interpret=interpret)
+    if B is not None and B != packed.shape[0]:
+        res = PallasBandedResult(*(v[:B] for v in res))
+    return res

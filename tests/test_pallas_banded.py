@@ -94,3 +94,21 @@ def test_pallas_garbage_read_fails_qc():
                               interpret=True)
     assert res.failed.all()
     assert (res.b2e_start == -1).all()
+
+
+def test_packed_variant_identical():
+    """banded_align_pallas_packed (single-transfer wire format) must be
+    numerically identical to the multi-array wrapper."""
+    from nanopolish_tpu.ops.pallas_banded import (banded_align_pallas_packed,
+                                                  pack_banded_inputs)
+    B = 4
+    ev, mu, sigma = _synthetic(B, 300, 640, seed=9)
+    n_events = np.array([640, 500, 640, 600], np.int32)
+    n_kmers = np.array([300, 240, 300, 280], np.int32)
+    ref = banded_align_pallas(ev, n_events, mu, sigma, np.log(sigma),
+                              n_kmers, interpret=True)
+    packed, Tp, Kp, K0 = pack_banded_inputs(ev, n_events, mu, sigma,
+                                            np.log(sigma), n_kmers)
+    got = banded_align_pallas_packed(packed, Tp, Kp, K0, B=B, interpret=True)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
