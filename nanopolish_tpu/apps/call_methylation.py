@@ -437,3 +437,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         bam_writer.close()
     proc.close()
     return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main(sys.argv[1:]))

@@ -177,3 +177,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
                       f"{qc}\n")
     proc.close()
     return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main(sys.argv[1:]))

@@ -65,3 +65,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         out.write(f"{status}\t{name}\t{path}{suffix}\n")
     print(f"[fast5-check] {n_ok} reads ok, {n_err} errors", file=sys.stderr)
     return 0 if n_err == 0 else 1
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main(sys.argv[1:]))

@@ -67,3 +67,8 @@ def main(argv: Optional[List[str]] = None):
     print(f"[readdb] num reads: {db.get_num_reads()}, num reads with path "
           f"to signal file: {with_path}", file=sys.stderr)
     return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main(sys.argv[1:]))

@@ -244,3 +244,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
             trained_model.write(out_name, out_name)
         print(f"Round {rnd}: trained {n_trained} kmers", file=sys.stderr)
     return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main(sys.argv[1:]))

@@ -146,3 +146,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
             out.write(outrec.to_sam(proc.references) + "\n")
     proc.close()
     return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main(sys.argv[1:]))

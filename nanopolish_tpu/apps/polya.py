@@ -136,3 +136,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
                       f"{read_rate:.2f}\t{polya_length:.2f}\t{qc}\n")
     proc.close()
     return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main(sys.argv[1:]))

@@ -181,3 +181,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
             transition_training[strand_idx].print()
     proc.close()
     return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main(sys.argv[1:]))

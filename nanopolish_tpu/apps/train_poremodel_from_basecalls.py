@@ -147,3 +147,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     model.write(opt.output, model.name)
     print(f"Wrote {opt.output}", file=sys.stderr)
     return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main(sys.argv[1:]))

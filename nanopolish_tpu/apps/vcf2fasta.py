@@ -122,3 +122,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
               file=sys.stderr)
         out.write(f">{contig}\n{''.join(parts)}\n")
     return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main(sys.argv[1:]))

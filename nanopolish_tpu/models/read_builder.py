@@ -35,9 +35,14 @@ def _banded_align(ev_mean, n_events, mu, sigma, log_sigma, n_kmers):
     impl = os.environ.get("NPT_BANDED_IMPL", "auto")
     if impl != "scan" and (impl == "pallas"
                            or jax.default_backend() in ("tpu", "axon")):
-        from ..ops.pallas_banded import banded_align_pallas
-        return banded_align_pallas(ev_mean, n_events, mu, sigma, log_sigma,
-                                   n_kmers)
+        from ..ops.pallas_banded import (banded_align_pallas_packed,
+                                         pack_banded_inputs)
+        # single-transfer wire format: one h2d per batch instead of eight
+        # (each transfer costs a relay round trip on remote attachment)
+        packed, Tp, Kp, K0 = pack_banded_inputs(
+            ev_mean, n_events, mu, sigma, log_sigma, n_kmers)
+        return banded_align_pallas_packed(packed, Tp, Kp, K0,
+                                          B=ev_mean.shape[0])
     return banded_align_batch(ev_mean, n_events, mu, sigma, log_sigma,
                               n_kmers)
 from .pore_model import PoreModel, PoreModelSet
@@ -107,7 +112,7 @@ def build_reads(
     inputs: Sequence[RawReadInput],
     flags: int = 0,
     stats: Optional[ReadStats] = None,
-    max_batch: int = 64,
+    max_batch: int = 128,
     num_threads: int = 8,
 ) -> List[Optional[SquiggleRead]]:
     """Construct SquiggleReads for a batch of raw reads.
@@ -195,6 +200,13 @@ def _process_chunk(chunk, results, stats: ReadStats):
         return
     T = _bucket_dims(max(len(w[2]) for w in chunk))
     K = _bucket_dims(max(len(w[4]) for w in chunk))
+    # The banded trace array is B x (T+K) x 256 bytes in HBM; split very
+    # long-read chunks rather than risk device OOM (reads are
+    # length-sorted, so splits stay homogeneous).
+    if B > 8 and B * (T + K) * 256 > (4 << 30):
+        _process_chunk(chunk[: B // 2], results, stats)
+        _process_chunk(chunk[B // 2:], results, stats)
+        return
 
     ev_mean = np.zeros((B, T), np.float32)
     ev_time = np.zeros((B, T), np.float32)

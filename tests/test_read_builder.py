@@ -102,3 +102,20 @@ def test_build_reads_end_to_end(model):
         assert mapped.mean() > 0.8
         assert 0 < read.events_per_base[T_IDX] <= 5.0
     assert ok >= 2  # at least 2 of 3 clean reads pass QC
+
+
+def test_build_reads_pallas_packed_path(model, monkeypatch):
+    """The ingest pipeline through the Pallas packed wire format (interpret
+    mode on CPU) must produce the same calibrated reads as the scan path."""
+    monkeypatch.setenv("NPT_BANDED_IMPL", "pallas")
+    rng = np.random.default_rng(11)
+    true = SquiggleScalings.from4(14.0, 1.05, 0.0, 1.0)
+    seq = random_sequence(rng, 500)
+    raw = synthetic_raw_signal(rng, seq, model, true, samples_per_base=10.0,
+                               leader=300, trailer=60)
+    reads = build_reads([RawReadInput(read_name="p0", sequence=seq, raw=raw)])
+    read = reads[0]
+    assert read is not None and read.has_events_for_strand(T_IDX)
+    sc = read.scalings[T_IDX]
+    assert abs(sc.shift - true.shift) < 3.0
+    assert abs(sc.scale - true.scale) < 0.05
