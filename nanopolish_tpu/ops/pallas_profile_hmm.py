@@ -245,15 +245,12 @@ def _pad_to(n, q):
     return max(q, -(-n // q) * q)
 
 
-def profile_hmm_forward_pallas(levels, n_events, mu, sigma, log_sigma,
-                               n_kmers, events_per_base, flags,
-                               indel_bias: float = 1.0) -> np.ndarray:
-    """Batched Forward scores via the Pallas kernel.
-
-    Args match ops.profile_hmm.profile_hmm_forward, except `flags` may be
-    a per-segment int array (mixed clip flags share one compile).
-    Requires n_kmers <= 256.
-    """
+def _pack_hmm_inputs(levels, n_events, mu, sigma, log_sigma, n_kmers,
+                     events_per_base, flags, indel_bias):
+    """One [B, TP+3*KP+12] f32 array holding every kernel input — a single
+    host->device transfer per call instead of eight (each transfer costs a
+    relay round trip on remotely-attached chips).  Layout: ev | a | b2 |
+    c0 | nev (i32 bitcast) | nk (i32 bitcast) | trans[8] | clips[2]."""
     levels = np.asarray(levels, np.float32)
     mu = np.asarray(mu, np.float32)
     sigma = np.asarray(sigma, np.float32)
@@ -268,34 +265,69 @@ def profile_hmm_forward_pallas(levels, n_events, mu, sigma, log_sigma,
     B = _pad_to(B0, 8)
     TP = _pad_to(T0, R)
 
-    ev = np.zeros((B, TP), np.float32)
-    ev[:B0, :T0] = levels
-    kmask = _iota_np(B, KP) < np.pad(n_kmers, (0, B - B0))[:, None]
-    a_tab = np.zeros((B, KP), np.float32)
-    b2_tab = np.zeros((B, KP), np.float32)
-    c0_tab = np.full((B, KP), NEG, np.float32)
+    packed = np.zeros((B, TP + 3 * KP + 12), np.float32)
+    packed[:B0, :T0] = levels
+    kmask = _iota_np(B0, K0) < n_kmers[:, None]
     inv = 1.0 / np.maximum(sigma, 1e-30)
-    a_tab[:B0, :K0] = inv
-    b2_tab[:B0, :K0] = mu * inv
-    c0_tab[:B0, :K0] = LOG_INV_SQRT_2PI - log_sigma
-    a_tab = np.where(kmask, a_tab, 0.0)
-    b2_tab = np.where(kmask, b2_tab, 0.0)
-    c0_tab = np.where(kmask, c0_tab, NEG)
-
-    nev = np.ones((B, 1), np.int32)
-    nev[:B0, 0] = np.maximum(n_events, 1)
-    nk = np.ones((B, 1), np.int32)
-    nk[:B0, 0] = np.maximum(n_kmers, 1)
-
+    o = TP
+    packed[:B0, o:o + K0] = np.where(kmask, inv, 0.0)
+    o += KP
+    packed[:B0, o:o + K0] = np.where(kmask, mu * inv, 0.0)
+    o += KP
+    packed[:, o:o + KP] = NEG
+    packed[:B0, o:o + K0] = np.where(kmask, LOG_INV_SQRT_2PI - log_sigma, NEG)
+    o += KP
+    nev = np.ones((B,), np.int32)
+    nev[:B0] = np.maximum(n_events, 1)
+    nk = np.ones((B,), np.int32)
+    nk[:B0] = np.maximum(n_kmers, 1)
+    packed[:, o] = nev.view(np.float32)
+    packed[:, o + 1] = nk.view(np.float32)
     trans = _np_transitions(
         np.pad(np.asarray(events_per_base, np.float32), (0, B - B0),
                constant_values=2.0), indel_bias)
-    clips = np.zeros((B, 2), np.float32)
-    clips[:B0, 0] = (flags & HAF_ALLOW_PRE_CLIP) > 0
-    clips[:B0, 1] = (flags & HAF_ALLOW_POST_CLIP) > 0
+    packed[:, o + 2:o + 10] = trans
+    packed[:B0, o + 10] = (flags & HAF_ALLOW_PRE_CLIP) > 0
+    packed[:B0, o + 11] = (flags & HAF_ALLOW_POST_CLIP) > 0
+    return packed, TP, B0, nev, nk
 
-    out = _profile_hmm_forward_call(ev, a_tab, b2_tab, c0_tab, nev, nk,
-                                    trans, clips)
+
+def _unpack_hmm_inputs(packed, TP):
+    o = TP
+    ev = packed[:, :TP]
+    a_tab = packed[:, o:o + KP]; o += KP
+    b2_tab = packed[:, o:o + KP]; o += KP
+    c0_tab = packed[:, o:o + KP]; o += KP
+    nev = jax.lax.bitcast_convert_type(packed[:, o:o + 1], jnp.int32)
+    nk = jax.lax.bitcast_convert_type(packed[:, o + 1:o + 2], jnp.int32)
+    trans = packed[:, o + 2:o + 10]
+    clips = packed[:, o + 10:o + 12]
+    return ev, a_tab, b2_tab, c0_tab, nev, nk, trans, clips
+
+
+@functools.partial(jax.jit, static_argnames=("TP",))
+def _profile_hmm_forward_call_packed(packed, TP):
+    return _profile_hmm_forward_call(*_unpack_hmm_inputs(packed, TP))
+
+
+@functools.partial(jax.jit, static_argnames=("TP",))
+def _profile_hmm_viterbi_call_packed(packed, TP):
+    return _profile_hmm_viterbi_call(*_unpack_hmm_inputs(packed, TP))
+
+
+def profile_hmm_forward_pallas(levels, n_events, mu, sigma, log_sigma,
+                               n_kmers, events_per_base, flags,
+                               indel_bias: float = 1.0) -> np.ndarray:
+    """Batched Forward scores via the Pallas kernel.
+
+    Args match ops.profile_hmm.profile_hmm_forward, except `flags` may be
+    a per-segment int array (mixed clip flags share one compile).
+    Requires n_kmers <= 256.
+    """
+    packed, TP, B0, _, _ = _pack_hmm_inputs(
+        levels, n_events, mu, sigma, log_sigma, n_kmers, events_per_base,
+        flags, indel_bias)
+    out = _profile_hmm_forward_call_packed(packed, TP)
     return np.asarray(out)[:B0, 0]
 
 
@@ -631,47 +663,9 @@ def profile_hmm_viterbi_pallas(levels, n_events, mu, sigma, log_sigma,
                                indel_bias: float = 1.0):
     """Batched Viterbi alignment via the Pallas kernels; returns the same
     per-segment backtracks as ops.profile_hmm.viterbi_backtrack."""
-    levels = np.asarray(levels, np.float32)
-    mu = np.asarray(mu, np.float32)
-    sigma = np.asarray(sigma, np.float32)
-    log_sigma = np.asarray(log_sigma, np.float32)
-    n_events = np.asarray(n_events, np.int32)
-    n_kmers = np.asarray(n_kmers, np.int32)
-    flags = np.broadcast_to(np.asarray(flags, np.int32), n_events.shape)
-
-    B0, T0 = levels.shape
-    K0 = mu.shape[1]
-    assert K0 <= KP
-    B = _pad_to(B0, 8)
-    TP = _pad_to(T0, R)
-
-    ev = np.zeros((B, TP), np.float32)
-    ev[:B0, :T0] = levels
-    kmask = _iota_np(B, KP) < np.pad(n_kmers, (0, B - B0))[:, None]
-    a_tab = np.zeros((B, KP), np.float32)
-    b2_tab = np.zeros((B, KP), np.float32)
-    c0_tab = np.full((B, KP), NEG, np.float32)
-    inv = 1.0 / np.maximum(sigma, 1e-30)
-    a_tab[:B0, :K0] = inv
-    b2_tab[:B0, :K0] = mu * inv
-    c0_tab[:B0, :K0] = LOG_INV_SQRT_2PI - log_sigma
-    a_tab = np.where(kmask, a_tab, 0.0)
-    b2_tab = np.where(kmask, b2_tab, 0.0)
-    c0_tab = np.where(kmask, c0_tab, NEG)
-
-    nev = np.ones((B, 1), np.int32)
-    nev[:B0, 0] = np.maximum(n_events, 1)
-    nk = np.ones((B, 1), np.int32)
-    nk[:B0, 0] = np.maximum(n_kmers, 1)
-
-    trans = _np_transitions(
-        np.pad(np.asarray(events_per_base, np.float32), (0, B - B0),
-               constant_values=2.0), indel_bias)
-    clips = np.zeros((B, 2), np.float32)
-    clips[:B0, 0] = (flags & HAF_ALLOW_PRE_CLIP) > 0
-    clips[:B0, 1] = (flags & HAF_ALLOW_POST_CLIP) > 0
-
-    ke, meta = _profile_hmm_viterbi_call(ev, a_tab, b2_tab, c0_tab, nev, nk,
-                                         trans, clips)
+    packed, TP, B0, nev, nk = _pack_hmm_inputs(
+        levels, n_events, mu, sigma, log_sigma, n_kmers, events_per_base,
+        flags, indel_bias)
+    ke, meta = _profile_hmm_viterbi_call_packed(packed, TP)
     return _expand_backtrack(np.asarray(ke), np.asarray(meta),
-                             nev[:, 0], nk[:, 0])[:B0]
+                             nev, nk)[:B0]
