@@ -419,6 +419,16 @@ class PallasBandedResult(NamedTuple):
     n_pairs: "jnp.ndarray"
 
 
+def _pad_to_pow2(n, lo=8):
+    # bound the number of compiled batch shapes: remainder chunks would
+    # otherwise compile a fresh kernel per arbitrary B (minutes each on
+    # remotely-attached chips)
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
 def _pad_to(n, q):
     return max(q, int(math.ceil(n / q)) * q)
 
@@ -518,7 +528,7 @@ def banded_align_pallas(event_mean, n_events, mu, sigma, log_sigma, n_kmers,
     n_kmers = np.asarray(n_kmers, np.int32)
     B, T0 = event_mean.shape
     K0 = mu.shape[1]
-    Bp = _pad_to(B, 8)
+    Bp = _pad_to_pow2(B)
     Tp = _pad_to(T0, R)
 
     ev = np.zeros((Bp, Tp), np.float32)
@@ -569,7 +579,7 @@ def pack_banded_inputs(event_mean, n_events, mu, sigma, log_sigma, n_kmers):
     n_kmers = np.asarray(n_kmers, np.int32)
     B, T0 = event_mean.shape
     K0 = mu.shape[1]
-    Bp = _pad_to(B, 8)
+    Bp = _pad_to_pow2(B)
     Tp = _pad_to(T0, R)
     a_tab, b2_tab, c0_tab = prepare_tables(mu, sigma, log_sigma, n_kmers)
     Kp = a_tab.shape[1]

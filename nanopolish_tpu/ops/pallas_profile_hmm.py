@@ -245,6 +245,13 @@ def _pad_to(n, q):
     return max(q, -(-n // q) * q)
 
 
+def _pad_to_pow2(n, lo=8):
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
 def _pack_hmm_inputs(levels, n_events, mu, sigma, log_sigma, n_kmers,
                      events_per_base, flags, indel_bias):
     """One [B, TP+3*KP+12] f32 array holding every kernel input — a single
@@ -262,7 +269,10 @@ def _pack_hmm_inputs(levels, n_events, mu, sigma, log_sigma, n_kmers,
     B0, T0 = levels.shape
     K0 = mu.shape[1]
     assert K0 <= KP, f"segment kmer count {K0} exceeds kernel width {KP}"
-    B = _pad_to(B0, 8)
+    # pad B to a power of two (not just x8): remainder chunks otherwise
+    # compile a fresh kernel per arbitrary batch size, and remote compiles
+    # cost minutes each
+    B = _pad_to_pow2(B0)
     TP = _pad_to(T0, R)
 
     packed = np.zeros((B, TP + 3 * KP + 12), np.float32)
