@@ -428,3 +428,78 @@ def _reg2bin(beg: int, end: int) -> int:
     if beg >> 26 == end >> 26:
         return ((1 << 3) - 1) // 7 + (beg >> 26)
     return 0
+
+
+# ---- SAM text parsing (the read half of sam_read1; used by watch mode to
+# ingest an external mapper's output, call_methylation.cpp:213-530) ----
+
+def _parse_sam_record(line: str, tid_of: Dict[str, int]) -> BamRecord:
+    import re as _re
+
+    f = line.split("\t")
+    qname, flag, rname, pos, mapq, cigar_s = f[:6]
+    rnext, pnext, tlen, seq, qual = f[6:11]
+    cigar = [(CIGAR_OPS.index(op), int(n))
+             for n, op in _re.findall(r"(\d+)([MIDNSHP=X])", cigar_s)] \
+        if cigar_s != "*" else []
+    tags: Dict[str, Tuple[str, object]] = {}
+    for t in f[11:]:
+        key, typ, val = t.split(":", 2)
+        if typ == "i":
+            tags[key] = ("i", int(val))
+        elif typ == "f":
+            tags[key] = ("f", float(val))
+        elif typ == "B":
+            sub, *items = val.split(",")
+            cast = int if sub in "cCsSiI" else float
+            tags[key] = ("B", (sub, [cast(x) for x in items]))
+        else:                                   # A, Z, H
+            tags[key] = (typ, val)
+    tid = tid_of.get(rname, -1)
+    mtid = tid if rnext == "=" else tid_of.get(rnext, -1)
+    qual_arr = None if qual == "*" else \
+        (np.frombuffer(qual.encode(), np.uint8) - 33)
+    return BamRecord(qname=("" if qname == "*" else qname), flag=int(flag),
+                     tid=tid, pos=int(pos) - 1, mapq=int(mapq), cigar=cigar,
+                     mtid=mtid, mpos=int(pnext) - 1, tlen=int(tlen),
+                     seq=("" if seq == "*" else seq), qual=qual_arr,
+                     tags=tags)
+
+
+def parse_sam(path: str):
+    """SAM text file -> (header_text, references, lengths, records)."""
+    header_lines: List[str] = []
+    references: List[str] = []
+    lengths: List[int] = []
+    body: List[str] = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith("@"):
+                header_lines.append(line)
+                if line.startswith("@SQ"):
+                    d = dict(p.split(":", 1) for p in line.split("\t")[1:]
+                             if ":" in p)
+                    references.append(d.get("SN", ""))
+                    lengths.append(int(d.get("LN", "0")))
+            else:
+                body.append(line)
+    tid_of = {n: i for i, n in enumerate(references)}
+    recs = [_parse_sam_record(l, tid_of) for l in body]
+    header = "\n".join(header_lines) + ("\n" if header_lines else "")
+    return header, references, lengths, recs
+
+
+def sam_to_bam(sam_path: str, bam_path: str) -> int:
+    """Convert a SAM file to BAM (records kept in file order); returns the
+    number of records written."""
+    header, references, lengths, recs = parse_sam(sam_path)
+    w = BamWriter(bam_path, header, references, lengths)
+    n = 0
+    for rec in recs:
+        w.write(rec)
+        n += 1
+    w.close()
+    return n

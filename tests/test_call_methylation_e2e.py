@@ -171,3 +171,62 @@ def test_call_methylation_sharding(meth_pipeline):
                      "--shard", f"{i}/2"], stdout=out)
         shard_rows += out.getvalue().splitlines()[1:]
     assert sorted(shard_rows) == full_rows
+
+
+def test_call_methylation_watch_mode(meth_pipeline, tmp_path):
+    """--watch live loop: fastq_pass/slow5_pass layout, sharding by numeric
+    suffix, external mapper hook, per-chunk .meth.tsv outputs that match
+    the direct calling path (call_methylation.cpp:213-530)."""
+    import os
+    import shutil
+    import stat
+    import subprocess
+
+    p = meth_pipeline
+    run = tmp_path / "run"
+    fqd = run / "fastq_pass"
+    sgd = run / "slow5_pass"
+    fqd.mkdir(parents=True)
+    sgd.mkdir()
+    # one chunk holding all reads (suffix 0 -> assigned to process 0/2)
+    shutil.copy(p["fastq"], fqd / "chunk_0.fastq")
+    shutil.copy(os.path.splitext(p["fastq"])[0] + ".slow5"
+                if os.path.exists(os.path.splitext(p["fastq"])[0] + ".slow5")
+                else os.path.join(os.path.dirname(p["fastq"]), "sig.slow5"),
+                sgd / "chunk_0.slow5")
+    # a chunk assigned to the OTHER process (suffix 1) must be skipped
+    shutil.copy(p["fastq"], fqd / "chunk_1.fastq")
+
+    # stub mapper: emits the known-good alignments as SAM (the real flow
+    # shells out to minimap2 the same way)
+    from nanopolish_tpu.io.bam import BamReader
+    sam_lines = ["@HD\tVN:1.6\tSO:unsorted",
+                 f"@SQ\tSN:tig1\tLN:{GENOME_LEN}"]
+    r = BamReader(p["bam"])
+    for rec in r:
+        sam_lines.append(rec.to_sam(r.references))
+    r.close()
+    sam_txt = "\n".join(sam_lines) + "\n"
+    (tmp_path / "aln.sam").write_text(sam_txt)
+    mapper = tmp_path / "fake_minimap2"
+    mapper.write_text("#!/bin/sh\ncat " + str(tmp_path / "aln.sam") + "\n")
+    mapper.chmod(mapper.stat().st_mode | stat.S_IXUSR)
+
+    rc = cm_app.main(["-g", p["ref_fa"], "-q", "cpg",
+                      "--watch", str(run), "--watch-once",
+                      "--watch-process-total", "2",
+                      "--watch-process-index", "0",
+                      "--watch-mapper", str(mapper),
+                      "--watch-mapper-opts", ""])
+    assert rc == 0
+    out_tsv = str(fqd / "chunk_0.fastq.meth.tsv")
+    assert os.path.exists(out_tsv)
+    assert not os.path.exists(str(fqd / "chunk_1.fastq.meth.tsv"))
+
+    # per-chunk output must equal the direct calling path on the same data
+    direct = io.StringIO()
+    cm_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"],
+                 "-q", "cpg"], stdout=direct)
+    with open(out_tsv) as fh:
+        watch_lines = fh.read().splitlines()
+    assert sorted(watch_lines) == sorted(direct.getvalue().splitlines())

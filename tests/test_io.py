@@ -219,3 +219,36 @@ def test_vcf_roundtrip(tmp_path):
     assert v2.info["TotalReads"] == "20"
     assert v2.genotype == "1/1"
     assert abs(v2.quality - 33.2) < 1e-6
+
+
+def test_sam_round_trip(tmp_path):
+    """BamRecord -> SAM text -> parse_sam -> BAM -> BamReader preserves
+    fields and tags."""
+    import numpy as np
+
+    from nanopolish_tpu.io.bam import BamReader, BamRecord, parse_sam, sam_to_bam
+
+    rec = BamRecord(qname="q1", flag=16, tid=0, pos=41, mapq=7,
+                    cigar=[(4, 2), (0, 5), (1, 1), (0, 3)], seq="ACGTACGTACG",
+                    qual=np.arange(11, dtype=np.uint8),
+                    tags={"NM": ("i", 3), "XS": ("f", -1.5),
+                          "SA": ("Z", "tig2,1,+,5M,60,0;"),
+                          "ML": ("B", ("C", [1, 2, 250]))})
+    sam = tmp_path / "a.sam"
+    sam.write_text("@HD\tVN:1.6\n@SQ\tSN:tig1\tLN:1000\n" +
+                   rec.to_sam(["tig1"]) + "\n")
+    header, refs, lens, recs = parse_sam(str(sam))
+    assert refs == ["tig1"] and lens == [1000]
+    got = recs[0]
+    assert (got.qname, got.flag, got.tid, got.pos, got.mapq) == \
+        ("q1", 16, 0, 41, 7)
+    assert got.cigar == rec.cigar and got.seq == rec.seq
+    assert got.tags["NM"] == ("i", 3)
+    assert got.tags["SA"] == ("Z", "tig2,1,+,5M,60,0;")
+    assert got.tags["ML"][1] == ("C", [1, 2, 250])
+    bam = str(tmp_path / "a.bam")
+    assert sam_to_bam(str(sam), bam) == 1
+    r = BamReader(bam)
+    back = list(r)[0]
+    assert back.qname == "q1" and back.pos == 41 and back.cigar == rec.cigar
+    np.testing.assert_array_equal(back.qual, rec.qual)
