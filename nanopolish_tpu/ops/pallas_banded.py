@@ -39,6 +39,11 @@ Documented divergence vs the reference: bandwidth 256 (not 100) and
 epoch-wise (not per-band) placement.  Both regions contain the optimal
 unrestricted path for well-behaved reads, giving identical alignments —
 validated against the NumPy port of the reference algorithm in tests.
+When divergence does occur (measured on noisy synthetic runs) it is a
+different leading-trim entry point: base-to-event maps agree >=97% with
+the exact port, re-converge within the first few kmers, and flip no
+downstream methylation calls; `NPT_BANDED_IMPL=scan` selects the exact
+reference banding when bit-parity matters more than throughput.
 """
 
 from __future__ import annotations
