@@ -169,6 +169,7 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
     """TPU fast path: one Pallas kernel shape per power-of-two event
     length, mixed clip flags share a compile (ops/pallas_profile_hmm)."""
     from ..ops.pallas_profile_hmm import profile_hmm_forward_pallas
+    from ..utils.profiler import profile_scope
 
     out = np.zeros(len(segments), np.float32)
     buckets = {}
@@ -199,10 +200,11 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
                 n_kmers[bi] = nk
                 epb[bi] = s.events_per_base
                 flags[bi] = s.flags
-            lp = profile_hmm_forward_pallas(
-                levels, n_events, mu, sigma,
-                np.log(np.maximum(sigma, 1e-30)), n_kmers, epb, flags,
-                indel_bias)
+            with profile_scope("segments.forward_pallas"):
+                lp = profile_hmm_forward_pallas(
+                    levels, n_events, mu, sigma,
+                    np.log(np.maximum(sigma, 1e-30)), n_kmers, epb, flags,
+                    indel_bias)
             out[np.asarray(chunk)] = lp
     return out
 

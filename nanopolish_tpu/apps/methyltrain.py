@@ -223,7 +223,17 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     fai = FastaIndex(opt.genome)
     rng = np.random.default_rng(opt.seed)
 
+    # elapsed-time round progress (the reference's Progress bar around
+    # training, nanopolish_methyltrain.cpp:788,816-818); tty-gated so
+    # redirected logs stay clean
+    prog = None
+    if sys.stderr.isatty():
+        from ..utils.profiler import Progress
+        prog = Progress("methyltrain")
+
     for rnd in range(opt.rounds):
+        if prog is not None:
+            prog.update(rnd / max(opt.rounds, 1))
         print(f"Starting round {rnd}", file=sys.stderr)
         model = pms.get_model(kit, alphabet, strand, k)
         summaries = collect_round_events(opt, read_db, fai, model, rng,
@@ -243,6 +253,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
                 f".round{rnd}.model"
             trained_model.write(out_name, out_name)
         print(f"Round {rnd}: trained {n_trained} kmers", file=sys.stderr)
+    if prog is not None:
+        prog.end()
     return 0
 
 

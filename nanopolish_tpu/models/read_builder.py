@@ -195,9 +195,17 @@ def build_reads(
 
 
 def _process_chunk(chunk, results, stats: ReadStats):
+    from ..utils.profiler import profile_scope
+
     B = len(chunk)
     if B == 0:
         return
+    with profile_scope("read_builder.process_chunk"):
+        _process_chunk_impl(chunk, results, stats)
+
+
+def _process_chunk_impl(chunk, results, stats: ReadStats):
+    B = len(chunk)
     T = _bucket_dims(max(len(w[2]) for w in chunk))
     K = _bucket_dims(max(len(w[4]) for w in chunk))
     # The banded trace array is B x (T+K) x 256 bytes in HBM; split very
