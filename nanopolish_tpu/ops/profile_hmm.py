@@ -19,9 +19,12 @@ axis, batched over (reads x windows x haplotypes) on the leading axis:
   * Soft-clip pre/post flanks are affine in the row index (background
     emission is the constant -3), computed in closed form.
 
-Numeric note: Forward uses exact logaddexp (the reference uses hmmer3's
-0.001-nat quantized table: src/common/logsum.h); a table-emulation mode is
-available via utils.logsum for bit-level comparisons.
+Numeric note: Forward uses exact logaddexp by default; NPT_LOGSUM=table
+switches both the scan and the NumPy port to a bit-faithful emulation of
+hmmer3's 0.001-nat quantized table (src/common/logsum.h) with the
+reference's sequential accumulation order (the quantized op is neither
+exact nor associative, so grouping matters) — for comparisons against
+the reference binary's scores.
 """
 
 from __future__ import annotations
@@ -122,9 +125,19 @@ def _shift_prev(x):
         [jnp.full((x.shape[0], 1), NEG_INF, x.dtype), x[:, :-1]], axis=1)
 
 
-def _kstate_scan(c, lp_kk, viterbi: bool):
+def _kstate_scan(c, lp_kk, viterbi: bool, add=None):
     """K[t,k] = op(c[k], K[t,k-1] + lp_kk) via associative scan (semiring
-    linear recurrence).  c: [B, K]; lp_kk: [B]."""
+    linear recurrence).  c: [B, K]; lp_kk: [B].  When a quantized `add` is
+    given (logsum-table emulation), the recurrence runs SEQUENTIALLY left
+    to right — the table op is not associative, and bit-faithfulness to
+    the reference's k-loop (r9.inl) requires its exact grouping."""
+    if add is not None and not viterbi:
+        def f(prev, ck):
+            v = add(ck, prev + lp_kk)
+            return v, v
+        _, vs = jax.lax.scan(f, jnp.full(c.shape[0], NEG_INF, c.dtype), c.T)
+        return vs.T
+
     a = jnp.broadcast_to(lp_kk[:, None], c.shape)
 
     if viterbi:
@@ -142,14 +155,30 @@ def _kstate_scan(c, lp_kk, viterbi: bool):
     return v
 
 
-@functools.partial(jax.jit, static_argnames=("flags", "viterbi", "with_trace"))
+@functools.partial(jax.jit,
+                   static_argnames=("flags", "viterbi", "with_trace",
+                                    "logsum"))
 def _profile_hmm_scan(levels, n_events, mu, sigma, log_sigma, n_kmers,
                       trans: BlockTransitions, flags: int, viterbi: bool,
-                      with_trace: bool):
+                      with_trace: bool, logsum: str = "exact"):
     B, T = levels.shape
     K = mu.shape[1]
     pre_clip = bool(flags & HAF_ALLOW_PRE_CLIP)
     post_clip = bool(flags & HAF_ALLOW_POST_CLIP)
+    if logsum == "table":
+        from ..utils.logsum import add_logs_table as _add
+        k_add = _add              # sequential, reference-grouped K chain
+    else:
+        _add = jnp.logaddexp
+        k_add = None              # associative logsumexp scan
+
+    def lse(vals):
+        # left fold in the reference's accumulation order (r9.inl) — the
+        # quantized table op is order-sensitive
+        r = vals[0]
+        for v in vals[1:]:
+            r = _add(r, v)
+        return r
 
     last_col = jnp.clip(n_kmers - 1, 0, K - 1)[:, None]
     n_events_f = n_events.astype(jnp.float32)
@@ -197,20 +226,18 @@ def _profile_hmm_scan(levels, n_events, mu, sigma, log_sigma, n_kmers,
             m_in = jnp.maximum(jnp.maximum(jnp.maximum(x0, x1), jnp.maximum(x2, x3)),
                                jnp.maximum(x4, x5))
         else:
-            m_in = jnp.logaddexp(
-                jnp.logaddexp(jnp.logaddexp(x0, x1), jnp.logaddexp(x2, x3)),
-                jnp.logaddexp(x4, x5))
+            m_in = lse([x0, x1, x2, x3, x4, x5])
         M_new = m_in + em
 
         b0 = lp_mb + M_prev             # FROM_SAME_M
         b2 = lp_bb + B_prev             # FROM_SAME_B
-        B_new = jnp.maximum(b0, b2) if viterbi else jnp.logaddexp(b0, b2)
+        B_new = jnp.maximum(b0, b2) if viterbi else _add(b0, b2)
         # BAD_EVENT_PENALTY = 0 emission
 
         cM = lp_mk + _shift_prev(M_new)  # FROM_PREV_M (same row!)
         cB = lp_bk + _shift_prev(B_new)  # FROM_PREV_B
-        c = jnp.maximum(cM, cB) if viterbi else jnp.logaddexp(cM, cB)
-        K_new = _kstate_scan(c, trans.lp_kk, viterbi)
+        c = jnp.maximum(cM, cB) if viterbi else _add(cM, cB)
+        K_new = _kstate_scan(c, trans.lp_kk, viterbi, add=k_add)
 
         if with_trace:
             # tie-break: the reference takes the LAST equal index (r9.inl:140-146)
@@ -245,8 +272,8 @@ def _profile_hmm_scan(levels, n_events, mu, sigma, log_sigma, n_kmers,
             end_row = jnp.where(better, t, end_row)
             end_state = jnp.where(better, st.astype(jnp.int32), end_state)
         else:
-            cand = jnp.logaddexp(jnp.logaddexp(m_last, b_last), k_last) + post
-            lp_end = jnp.where(allowed, jnp.logaddexp(lp_end, cand), lp_end)
+            cand = lse([m_last, b_last, k_last]) + post
+            lp_end = jnp.where(allowed, _add(lp_end, cand), lp_end)
 
         return (M_new, B_new, K_new, lp_end, end_row, end_state), trace
 
@@ -273,11 +300,13 @@ def profile_hmm_forward(levels, n_events, mu, sigma, log_sigma, n_kmers,
     """
     if trans is None:
         trans = make_transitions(events_per_base, indel_bias)
+    import os
+    logsum = os.environ.get("NPT_LOGSUM", "exact")
     lp_end, _, _, _ = _profile_hmm_scan(
         jnp.asarray(levels, jnp.float32), jnp.asarray(n_events, jnp.int32),
         jnp.asarray(mu, jnp.float32), jnp.asarray(sigma, jnp.float32),
         jnp.asarray(log_sigma, jnp.float32), jnp.asarray(n_kmers, jnp.int32),
-        trans, flags, viterbi=False, with_trace=False)
+        trans, flags, viterbi=False, with_trace=False, logsum=logsum)
     return lp_end
 
 
@@ -383,7 +412,14 @@ def profile_hmm_reference(levels, mu, sigma, log_sigma, events_per_base,
         for i in range(n_events - 3, -1, -1):
             post[i] = math.log(TRANS_CLIP_SELF) + LOG_BG + post[i + 1]
 
-    op = max if viterbi else np.logaddexp
+    import os
+    if viterbi:
+        op = max
+    elif os.environ.get("NPT_LOGSUM", "exact") == "table":
+        from ..utils.logsum import add_logs_np
+        op = functools.partial(add_logs_np, table=True)
+    else:
+        op = np.logaddexp
 
     def lse(vals):
         r = vals[0]

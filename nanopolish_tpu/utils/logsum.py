@@ -54,8 +54,8 @@ def add_logs_np(a, b, table: bool = False):
     tbl = _logsum_table_np()
     mx = np.maximum(a, b)
     mn = np.minimum(a, b)
-    d = mx - mn
     with np.errstate(invalid="ignore"):
+        d = np.where(mn == -np.inf, np.inf, mx - mn)   # -inf-(-inf) is nan
         idx = np.clip((d * P7_LOGSUM_SCALE).astype(np.int64), 0, P7_LOGSUM_TBL - 1)
     return np.where((mn == -np.inf) | (d >= 15.7), mx, mx + tbl[idx])
 

@@ -118,3 +118,28 @@ def test_forward_discriminates_sequences(model):
     lv, ne, mu, sg, ls, nk, epb = _pad([c_true, c_alt])
     got = np.asarray(profile_hmm_forward(lv, ne, mu, sg, ls, nk, epb, flags=0))
     assert got[0] > got[1] + 20.0
+
+
+def test_forward_logsum_table_mode(model, monkeypatch):
+    """NPT_LOGSUM=table: the scan and the NumPy port share the reference's
+    quantized-table semantics (logsum.h) and sequential grouping, so they
+    agree with each other; the quantization shifts scores measurably but
+    boundedly vs exact logaddexp."""
+    rng = np.random.default_rng(321)
+    cases = [_window_case(rng, model, n_bases=n) for n in (40, 30)]
+    lv, ne, mu, sg, ls, nk, epb = _pad(cases)
+    flags = HAF_ALLOW_PRE_CLIP | HAF_ALLOW_POST_CLIP
+
+    exact = np.asarray(profile_hmm_forward(lv, ne, mu, sg, ls, nk, epb,
+                                           flags=flags)).copy()
+    monkeypatch.setenv("NPT_LOGSUM", "table")
+    table = np.asarray(profile_hmm_forward(lv, ne, mu, sg, ls, nk, epb,
+                                           flags=flags))
+    for i, c in enumerate(cases):
+        want = profile_hmm_reference(c[0], c[1], c[2], c[3], c[4],
+                                     flags=flags, viterbi=False)
+        assert table[i] == pytest.approx(want, rel=5e-5, abs=5e-3), f"case {i}"
+    # quantization changes the result (it's a different numeric policy)...
+    assert np.max(np.abs(table - exact)) > 1e-5
+    # ...but only within the table's resolution accumulated over the DP
+    assert np.all(np.abs(table - exact) < 0.5)
