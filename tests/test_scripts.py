@@ -64,3 +64,102 @@ def test_merge_segments(tmp_path, capsys):
     b = full[500:]
     merged = mod.merge_into_consensus(a, b, 200)
     assert merged == full
+
+
+def test_compare_methylation(tmp_path, capsys):
+    hdr = ("chromosome\tstart\tend\tnum_motifs_in_group\tcalled_sites\t"
+           "called_sites_methylated\tmethylated_frequency\tgroup_sequence\t"
+           "num_cpgs_in_group\n")
+    a = tmp_path / "freq_a.tsv"
+    a.write_text(hdr +
+                 "c1\t10\t10\t1\t20\t10\t0.5\tACGT\t1\n"
+                 "c1\t50\t54\t2\t8\t8\t1.0\tACGTCG\t2\n"   # non-singleton: skipped
+                 "c1\t99\t99\t1\t5\t0\t0.0\tTTCGA\t1\n")
+    b = tmp_path / "freq_b.tsv"
+    b.write_text(hdr +
+                 "c1\t10\t10\t1\t10\t9\t0.9\tACGT\t1\n"
+                 "c1\t77\t77\t1\t4\t4\t1.0\tGGCGA\t1\n")
+    mod = _load("compare_methylation")
+    assert mod.main([str(a), str(b)]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].startswith("key\tdepth_1")
+    assert out[1:] == ["c1:10-10\t20\t0.5000\t10\t0.9000"]
+
+
+def test_dropmodel(tmp_path, capsys, monkeypatch):
+    import itertools
+    m = tmp_path / "kit.nucleotide.2mer.template.model"
+    rows = []
+    vals = {}
+    for i, km in enumerate("".join(t) for t in
+                           itertools.product("ACGT", repeat=2)):
+        vals[km] = (80.0 + i, 1.0 + 0.1 * i)
+        rows.append(f"{km}\t{vals[km][0]}\t{vals[km][1]}\t0\t0\t0")
+    m.write_text("#kit\tkit\n#strand\ttemplate\nkmer\tlevel_mean\t"
+                 "level_stdv\tsd_mean\tsd_stdv\n" + "\n".join(rows) + "\n")
+    mod = _load("dropmodel")
+    monkeypatch.chdir(tmp_path)
+    assert mod.main(["-i", m.name]) == 0
+    out_name = capsys.readouterr().out.strip()
+    assert out_name.endswith("1mer.template.model")
+    lines = (tmp_path / out_name).read_text().splitlines()
+    body = {l.split("\t")[0]: float(l.split("\t")[1]) for l in lines
+            if l and not l.startswith("#") and not l.startswith("kmer")}
+    # A-mer collapses AA,AC,AG,AT: mean of their means
+    want = sum(vals["A" + b][0] for b in "ACGT") / 4
+    assert abs(body["A"] - want) < 1e-9
+
+
+def test_import_ont_model(tmp_path, capsys, monkeypatch):
+    d = tmp_path / "r9.4" / "r9.4_180mv_450bps_6mer_RNA"
+    d.mkdir(parents=True)
+    src = d / "template_median68pA.model"
+    src.write_text("kmer\tlevel_mean\tlevel_stdv\n"
+                   "ACGTAA\t80.0\t1.0\nAAAAAC\t90.0\t2.0\n")
+    mod = _load("import_ont_model")
+    monkeypatch.chdir(tmp_path)
+    assert mod.main(["-i", str(src)]) == 0
+    out_name = capsys.readouterr().out.strip()
+    assert out_name == "r9.4_450bps.nucleotide.6mer.template.model"
+    txt = (tmp_path / out_name).read_text()
+    assert "#kit\tr9.4_450bps" in txt and "#strand\ttemplate" in txt
+    body = [l.split("\t")[0] for l in txt.splitlines()
+            if l and not l.startswith("#") and not l.startswith("kmer")]
+    # RNA kmers are reversed into 5'->3' and sorted
+    assert body == sorted(["AATGCA", "CAAAAA"])
+
+
+def test_extract_reads_aligned_to_region(tmp_path, monkeypatch, capsys):
+    import tarfile
+
+    from nanopolish_tpu.apps import index as index_app
+    from nanopolish_tpu.io.bam import BamRecord, BamWriter
+    from nanopolish_tpu.io.slow5 import Slow5Writer
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "g.fa").write_text(">c1\n" + "ACGT" * 300 + "\n")
+    with open("r.fastq", "w") as fq, Slow5Writer("s.slow5") as sw:
+        for i, pos in enumerate((0, 400, 900)):
+            fq.write(f"@rd{i}\n{'ACGT' * 50}\n+\n{'I' * 200}\n")
+            sw.write(f"rd{i}", np.arange(100, dtype=np.int16),
+                     8192.0, 0.0, 1400.0, 4000.0)
+    index_app.main(["r.fastq", "--slow5", "s.slow5"])
+    w = BamWriter("a.bam", "@HD\tVN:1.6\tSO:coordinate\n", ["c1"], [1200])
+    for i, pos in enumerate((0, 400, 900)):
+        w.write(BamRecord(qname=f"rd{i}", flag=0, tid=0, pos=pos, mapq=60,
+                          cigar=[(0, 200)], seq="ACGT" * 50,
+                          qual=np.full(200, 30, np.uint8)))
+    w.close()
+
+    mod = _load("extract_reads_aligned_to_region")
+    assert mod.main(["-b", "a.bam", "-r", "r.fastq", "-g", "g.fa",
+                     "-w", "c1:350-700", "-o", "sub"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out == "sub.tar.gz"
+    with tarfile.open("sub.tar.gz") as tar:
+        names = tar.getnames()
+        fq_member = [n for n in names if n.endswith("region_reads.fastq")][0]
+        txt = tar.extractfile(fq_member).read().decode()
+        assert "@rd1" in txt and "@rd0" not in txt and "@rd2" not in txt
+        assert any("region_signal" in n for n in names)
+    assert "reads: 1" in (tmp_path / "sub.log").read_text()
