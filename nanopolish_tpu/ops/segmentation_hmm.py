@@ -201,11 +201,36 @@ def segment_reads(samples_list: List[np.ndarray], scalings_list,
 
     scalings_list: per-read (scale, shift, var).
     """
+    import os
+
     if params is None:
         params = SegmentationParams()
     B = len(samples_list)
     N = max(len(s) for s in samples_list)
     N = max(N, 8)
+
+    impl = os.environ.get("NPT_SEG_IMPL", "auto")
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() in ("tpu", "axon"))
+    if use_pallas and B <= 128:
+        # pad N to a power of two so the kernel compiles once per bucket
+        # instead of once per batch shape (remote compiles cost minutes)
+        from .pallas_segmentation import segmentation_labels_pallas
+        Np = 1024
+        while Np < N:
+            Np *= 2
+        samples = np.full((B, Np), 100.0, np.float32)
+        n_samples = np.zeros(B, np.int32)
+        sc = np.zeros((B, 3), np.float32)
+        for i, (s, scals) in enumerate(zip(samples_list, scalings_list)):
+            samples[i, :len(s)] = s
+            n_samples[i] = len(s)
+            sc[i] = scals
+        labels_bn = segmentation_labels_pallas(
+            samples, n_samples, sc[:, 0], sc[:, 1], sc[:, 2], params)
+        return [_extract_segmentation(labels_bn[i, :int(n_samples[i])])
+                for i in range(B)]
+
     samples = np.full((B, N), 100.0, np.float32)
     n_samples = np.zeros(B, np.int32)
     sc = np.zeros((B, 3), np.float32)
