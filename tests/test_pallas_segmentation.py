@@ -66,3 +66,24 @@ def test_pallas_segmentation_regions():
     assert 280 <= seg.leader <= 340
     assert 450 <= seg.adapter <= 530
     assert 800 <= seg.polya <= 880
+
+
+def test_pallas_matches_scan_polyi_params():
+    """The detect-polyi parameter variant (two-Gaussian P emission) flows
+    through the same kernel via the frozen params static arg."""
+    from nanopolish_tpu.apps.detect_polyi import DPI_PARAMS as POLYI_PARAMS
+
+    rng = np.random.default_rng(3)
+    r = _synthetic_read(rng, n_leader=200, n_adapter=150, n_polya=300,
+                        n_transcript=400)
+    import jax.numpy as jnp
+    samples = r[None, :]
+    n_samples = np.array([len(r)], np.int32)
+    bptrs, _ = sh._segmentation_viterbi(
+        jnp.asarray(samples), jnp.asarray(n_samples), jnp.ones(1),
+        jnp.zeros(1), jnp.ones(1), POLYI_PARAMS)
+    want = np.asarray(sh._backward_labels(bptrs, jnp.asarray(n_samples))).T
+    got = segmentation_labels_pallas(samples, n_samples, np.ones(1),
+                                     np.zeros(1), np.ones(1),
+                                     params=POLYI_PARAMS, interpret=True)
+    np.testing.assert_array_equal(got[0, :len(r)], want[0, :len(r)])
