@@ -133,15 +133,25 @@ def index_signal_files(db: ReadDB, paths: List[str], progress: bool = False):
     """Map read_id -> signal path by opening each fast5."""
     from .fast5 import Fast5File
 
+    import sys
+
     for p in paths:
         if p.endswith((".slow5", ".blow5")):
             db.set_slow5_mode(p)
             continue
         try:
             with Fast5File(p) as f:
-                for rid in f.read_names():
+                names = f.read_names()
+                if not names:
+                    # legacy (pre-raw-signal) fast5 layouts yield no
+                    # indexable reads — say so instead of skipping silently
+                    print(f"[readdb] warning: no raw reads in {p} "
+                          f"(legacy events-only fast5?)", file=sys.stderr)
+                for rid in names:
                     db.add_signal_path(rid, p)
-        except Exception:
+        except Exception as e:
+            print(f"[readdb] warning: could not open {p}: {e}",
+                  file=sys.stderr)
             continue
 
 
