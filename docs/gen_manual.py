@@ -1,9 +1,12 @@
 #!/usr/bin/env python3
 """Regenerate docs/manual.md from the subcommands' argparse definitions."""
-import contextlib
 import importlib
 import io
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 SUBS = ["index", "eventalign", "call_methylation", "variants", "vcf2fasta",
         "scorereads", "phase_reads", "polya", "detect_polyi", "methyltrain",

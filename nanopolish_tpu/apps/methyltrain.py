@@ -51,7 +51,8 @@ class KmerSummary:
 
 
 def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
-                         calibrate: bool):
+                         calibrate: bool, round_idx: int = 0,
+                         out=None):
     """One pass over the BAM collecting per-kmer training events
     (add_aligned_events, methyltrain.cpp:329-474)."""
     alphabet = model.alphabet
@@ -82,10 +83,28 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
         for (sr, rec, strand, read_idx), ao in zip(jobs, alignments):
             if not ao:
                 continue
+            # optional per-read score monitoring around recalibration
+            # (methyltrain.cpp:380-404)
+            output_scores = getattr(opt, "output_scores", False) and \
+                out is not None
+            if output_scores:
+                from .scorereads import read_model_score
+                contig = proc.references[rec.tid]
+                orig = read_model_score(sr, strand, fai, contig, ao,
+                                        alphabet=alphabet.name)
+                out.write(f"{round_idx} {model.name} {read_idx} {strand} "
+                          f"Original {orig}\n")
             if calibrate:
                 recalibrate_model(sr, sr.get_model(strand, alphabet.name),
                                   strand, ao, scale_var=True,
                                   scale_drift=True)
+                if output_scores:
+                    rescaled = read_model_score(sr, strand, fai, contig, ao,
+                                                alphabet=alphabet.name)
+                    out.write(f"{round_idx} {model.name} {read_idx} {strand} "
+                              f"Rescaled {rescaled}\n")
+                    out.write(f"{round_idx} {model.name} {read_idx} {strand} "
+                              f"Delta {rescaled - orig}\n")
             sc = sr.scalings[strand]
             n = len(ao)
             for i, ea in enumerate(ao):
@@ -195,6 +214,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", "--window", default="")
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-c", "--calibrate", action="store_true")
+    p.add_argument("--output-scores", action="store_true",
+                   help="print per-read model scores during training")
     p.add_argument("--train-kmers", default="all",
                    choices=["all", "methylated", "unmethylated"])
     p.add_argument("--rounds", type=int, default=NUM_TRAINING_ROUNDS)
@@ -209,6 +230,7 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     opt = make_parser().parse_args(argv)
+    out = stdout if stdout is not None else sys.stdout
     pms = PoreModelSet.instance()
     imported = pms.initialize(opt.models_fofn)
     if not imported:
@@ -237,7 +259,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         print(f"Starting round {rnd}", file=sys.stderr)
         model = pms.get_model(kit, alphabet, strand, k)
         summaries = collect_round_events(opt, read_db, fai, model, rng,
-                                         opt.calibrate)
+                                         opt.calibrate, round_idx=rnd,
+                                         out=out)
         summary_path = f"methyltrain{opt.out_suffix}.summary"
         with open(summary_path, "w") as summary_fp:
             summary_fp.write(

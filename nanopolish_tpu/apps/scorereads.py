@@ -30,12 +30,13 @@ from .bam_processor import BamBatchProcessor
 EVENTS_PER_SEGMENT = 500
 
 
-def _segment_tasks(sr, strand_idx, fai, contig, alignment):
+def _segment_tasks(sr, strand_idx, fai, contig, alignment,
+                   alphabet: str = "nucleotide"):
     """One scoring task per 500-event alignment chunk
     (model_score, scorereads.cpp:116-203)."""
     tasks = []
     n = len(alignment)
-    model = sr.get_model(strand_idx, "nucleotide")
+    model = sr.get_model(strand_idx, alphabet)
     k = model.k
     for start in range(EVENTS_PER_SEGMENT, n - EVENTS_PER_SEGMENT,
                        EVENTS_PER_SEGMENT):
@@ -61,6 +62,22 @@ def _segment_tasks(sr, strand_idx, fai, contig, alignment):
                       "event_start": a0.event_idx,
                       "stride": 1 if a1.event_idx >= a0.event_idx else -1})
     return tasks
+
+
+def read_model_score(sr, strand_idx, fai, contig, alignment,
+                     alphabet: str = "nucleotide"):
+    """Average per-event forward log-likelihood of a read's alignment
+    (model_score, scorereads.cpp:116-203); used by scorereads and by
+    methyltrain --output-scores (methyltrain.cpp:380-404)."""
+    tasks = _segment_tasks(sr, strand_idx, fai, contig, alignment,
+                           alphabet=alphabet)
+    if not tasks:
+        return float("-inf")
+    scores = forward_segments([t["segment"] for t in tasks])
+    nev = sum(t["n_events"] for t in tasks)
+    if nev == 0:
+        return float("-inf")
+    return sum(float(s) for s in scores) / nev
 
 
 def make_parser() -> argparse.ArgumentParser:
