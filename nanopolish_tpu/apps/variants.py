@@ -55,6 +55,7 @@ class Opts:
     snps_only = False
     fix_homopolymers = False
     calculate_all_support = False
+    verbose = False
     methylation_types: List[str] = []
 
 
@@ -713,6 +714,11 @@ def call_variants_for_region(contig: str, region_start: int, region_end: int,
         sbe = generate_candidate_single_base_edits(alignments, region_start,
                                                    region_end, opts)
         candidate_variants = dedup_sorted(candidate_variants + sbe)
+    if opts.verbose:
+        print(f"[variants] {contig}:{region_start}-{region_end}: "
+              f"{len(candidate_variants)} candidates "
+              f"({len(alignments._reads)} reads in region)",
+              file=sys.stderr)
 
     called_haplotype = Haplotype(alignments.get_region_contig(),
                                  alignments.get_region_start(),
@@ -728,6 +734,10 @@ def call_variants_for_region(contig: str, region_start: int, region_end: int,
             this_keys = {v.key() for v in called_variants}
             changed = this_keys != last_keys
             last_keys = this_keys
+            if opts.verbose:
+                print(f"[variants] round {round_i}: "
+                      f"{len(filtered)} screened candidates -> "
+                      f"{len(called_variants)} called", file=sys.stderr)
             if changed:
                 candidate_variants = expand_variants(alignments,
                                                      called_variants, opts)
@@ -769,6 +779,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-flanking-sequence", type=int, default=30)
     p.add_argument("--snps", action="store_true")
     p.add_argument("--fix-homopolymers", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="per-round candidate/call diagnostics on stderr")
     p.add_argument("--calculate-all-support", action="store_true")
     p.add_argument("--models-fofn", default="")
     return p
@@ -787,6 +799,7 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     opts.ploidy = opt.ploidy
     opts.consensus_mode = opt.consensus
     opts.max_rounds = opt.max_rounds
+    opts.verbose = opt.verbose
     opts.min_flanking_sequence = opt.min_flanking_sequence
     opts.snps_only = opt.snps
     opts.fix_homopolymers = opt.fix_homopolymers
