@@ -57,7 +57,10 @@ def make_reads(batch, seed=0):
 
 
 def bench_tpu(on_rate=None):
+    import functools
+
     import jax
+    import jax.numpy as jnp
 
     from nanopolish_tpu.ops.pallas_banded import (banded_align_pallas_packed,
                                                   pack_banded_inputs)
@@ -71,42 +74,50 @@ def bench_tpu(on_rate=None):
     packed_dev = jax.device_put(packed)
     jax.block_until_ready(packed_dev)
 
-    def banded_align_pallas(*_ignored):
-        return banded_align_pallas_packed(packed_dev, Tp, Kp, K0)
+    # ITERS batches per dispatch: the per-dispatch host->chip round trip
+    # (25-80 ms through this rig's relay, a few us on a local host) is
+    # amortized over ITERS kernel pipelines so the captured rate reflects
+    # the chip.  Each iteration is chained to the previous one through a
+    # sub-f32-ulp perturbation of the packed input (min(avg_em, 0)*1e-30
+    # added to one event mean rounds to the identical f32 value but is a
+    # real data dependency), so XLA cannot CSE or reorder the iterations.
+    ITERS = int(os.environ.get("NPT_BENCH_ITERS", "12"))
 
-    args = ()
+    @functools.partial(jax.jit, static_argnames=())
+    def chained(p):
+        def body(_, carry):
+            p_cur, _ = carry
+            res = banded_align_pallas_packed(p_cur, Tp, Kp, K0)
+            dep = jnp.minimum(jnp.sum(res.avg_log_emission), 0.0) * 1e-30
+            p_next = p_cur.at[:, 0].add(dep)
+            return p_next, res.failed
+        _, failed = jax.lax.fori_loop(0, ITERS, body, (p, jnp.zeros((p.shape[0],), bool)))
+        return failed
+
     # warmup / compile (remote compiles take minutes when the shared
-    # relay is in its slow mode, so report progress as we go)
+    # relay is in its slow mode, so report progress as we go).
+    # Timing forces a device_get: block_until_ready on relay-attached
+    # arrays has been observed to return before compute completes, so
+    # fetching the (tiny) result bytes is the only reliable fence.
     print("bench: compiling banded kernels...", file=sys.stderr, flush=True)
-    res = banded_align_pallas(*args)
-    jax.block_until_ready(res.failed)
-    n_ok = int(np.asarray(jax.device_get(res.failed) == 0).sum())
-    del res
-    # b2e/QC stay on device (downstream kernels consume them there), so
-    # only ~100 B/read crosses the host link.  The host<->chip relay in
-    # this rig has strongly bimodal latency/bandwidth that flaps on a
-    # minutes timescale (shared pool); to measure the chip and not the
-    # tunnel's mood, run short pipelined trials across a time budget and
-    # report the best sustained rate, stopping early once a fast window
-    # is caught.
+    failed = jax.device_get(chained(packed_dev))
+    n_ok = int(np.asarray(failed == 0).sum())
+    # The host<->chip relay in this rig has strongly bimodal latency that
+    # flaps on a minutes timescale (shared pool); run short trials across
+    # a time budget and report the best sustained rate, stopping early
+    # once a fast window is caught.
     budget_s = float(os.environ.get("NPT_BENCH_BUDGET_S", "420"))
-    good_rate = 4000.0          # chip-limited territory; tunnel is not in the way
+    good_rate = 6500.0          # chip-limited territory; tunnel is not in the way
     rates = []
     t_start = time.perf_counter()
-    depth_cycle = [2, N_BATCHES, 2, 2]
-    i = 0
     while not rates or time.perf_counter() - t_start < budget_s:
-        depth = depth_cycle[i % len(depth_cycle)]
-        i += 1
         t0 = time.perf_counter()
-        outs = [banded_align_pallas(*args) for _ in range(depth)]
-        jax.block_until_ready([o.failed for o in outs])
-        rate = depth * BATCH / (time.perf_counter() - t0)
-        del outs
+        jax.device_get(chained(packed_dev))
+        rate = ITERS * BATCH / (time.perf_counter() - t0)
         if on_rate is not None and (not rates or rate > max(rates)):
             on_rate(rate)
         rates.append(rate)
-        if max(rates) >= good_rate and len(rates) >= 3:
+        if max(rates) >= good_rate and len(rates) >= 2:
             break
     return float(np.max(rates)), n_ok
 

@@ -1,0 +1,597 @@
+"""Pallas TPU kernel: reference-exact adaptive banded event alignment.
+
+Implements the banding of ``adaptive_banded_simple_event_align``
+(reference: src/nanopolish_raw_loader.cpp:77-379) *exactly*: a 100-wide
+anti-diagonal band whose per-band down/right placement follows Suzuki's
+rule on the two band-edge scores, f32 scoring in the reference's
+operation order, and the reference's tie-breaking (L > U > D).  Unlike
+ops/pallas_banded.py (the epoch-window kernel, which approximates the
+band placement and may pick a different leading-trim entry on noisy
+reads), this kernel byte-matches the `lax.scan` port and the NumPy
+reference port cell for cell.
+
+TPU-native formulation
+----------------------
+Bands live on the 128-lane axis (offsets 0..99 valid), a batch of B
+reads on the sublane axis, and a single grid loop walks the n_bands =
+(T+1)+(K+1) anti-diagonals.  The two data streams the DP consumes are
+kept in *rolling register windows* so no per-read gather ever happens:
+
+ * events enter one at a time when a read's band moves down — a
+   [B, 256] window holds the band-aligned events (lanes 128..255) plus
+   128 future events, rolled right by one lane on down-moves;
+ * k-mer gaussians (mu, sigma, log-term) enter on right-moves — three
+   [B, 256] windows rolled left, band-aligned at lanes 0..127.
+
+The rolls are circular, so between the per-chunk refills (once per 128
+bands, a per-read 128-aligned load + dynamic lane rotate) stale lanes
+never reach the 100 live offsets.  Out-of-range cells are handled with
+*pad values* instead of masks: events outside [0, n_events) read as
+1e17 and k-mer log-constants outside [0, n_kmers) as -1e35, which makes
+every invalid cell's score < -1e30.  The adaptive-placement rule treats
+any score below that threshold as the reference's -inf ("out of band"),
+so placement decisions are bit-identical while the per-cell valid-range
+masks of the scan implementation disappear from the inner loop.
+
+Traceback moves are packed 2 bits x 16 bands into int32 rows (lane 127,
+unused by the 100-wide band, carries the band's down/right decision so
+the backtrack can replay band positions without a stored ll_e array),
+and the per-band emission row is streamed to HBM so the backtrack kernel
+can accumulate the QC emission sum without re-materializing the windows.
+The backtrack kernel replays the walk band-by-band (one visited cell per
+band), emitting (kmer, event) pairs as rows that an XLA scatter folds
+into the base->event map exactly like ops/banded_align.py does.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .banded_align import (BANDWIDTH, HALF_BANDWIDTH, LP_SKIP, LP_TRIM,
+                           MAX_GAP_THRESHOLD, MIN_AVG_LOG_EMISSION,
+                           BandedAlignResult)
+from .emissions import LOG_INV_SQRT_2PI
+
+LANES = 128
+WIN = 256            # rolling window width (band + one chunk of lookahead)
+CHUNK = 128          # bands per grid step == max window consumption per step
+PACK = 16            # trace cells packed per int32 (2 bits each)
+
+NEG_INF = float("-inf")
+OB = -1.0e30         # scores below this are the reference's -inf ("out of band")
+EV_PAD = 1.0e17      # event pad: emission becomes ~-1e34 (< OB) at any kmer
+C_PAD = -1.0e35      # kmer log-const pad: emission < OB at any event
+
+FROM_D, FROM_U, FROM_L = 0, 1, 2
+
+
+def _iota_b(b, n):
+    return jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+
+
+def _roll_l(x, n=1):
+    """Circular roll left by n lanes (pltpu.roll only takes shifts >= 0)."""
+    return pltpu.roll(x, x.shape[1] - n, 1)
+
+
+# ---------------------------------------------------------------------------
+# Host-side input preparation
+# ---------------------------------------------------------------------------
+
+def _pad_to(n, q):
+    return max(q, int(math.ceil(n / q)) * q)
+
+
+def prepare_exact_inputs(event_mean, n_events, mu, sigma, log_sigma, n_kmers):
+    """Build the padded device arrays for the exact banded kernels.
+
+    Returns dict of np arrays: evr [B, Tp+512] (reversed, padded events),
+    tmu/tsig/tc [B, Kp+512] (lead-128 padded tables), nev/nk [B,1] i32,
+    plus the static dims (Tp, Kp).
+    """
+    event_mean = np.asarray(event_mean, np.float32)
+    n_events = np.asarray(n_events, np.int32).reshape(-1)
+    mu = np.asarray(mu, np.float32)
+    sigma = np.asarray(sigma, np.float32)
+    log_sigma = np.asarray(log_sigma, np.float32)
+    n_kmers = np.asarray(n_kmers, np.int32).reshape(-1)
+    B, T0 = event_mean.shape
+    K0 = mu.shape[1]
+    Tp = _pad_to(T0, CHUNK)
+    Kp = _pad_to(K0, CHUNK)
+
+    # evr[b, j] = event[b, EOFF - j], EV_PAD outside [0, n_events)
+    EOFF = Tp + 255
+    Lev = Tp + 512
+    ivals = EOFF - np.arange(Lev)                       # event index per column
+    valid = (ivals >= 0) & (ivals[None, :] < n_events[:, None])
+    gath = np.take(np.pad(event_mean, ((0, 0), (0, Tp - T0 + 1))),
+                   np.clip(ivals, 0, Tp), axis=1)
+    evr = np.where(valid, gath, EV_PAD).astype(np.float32)
+
+    # forward tables with a 128-lane lead pad: tab[b, 128 + k]
+    Lk = Kp + 512
+    kvals = np.arange(Lk) - 128
+    kmask = (kvals >= 0) & (kvals[None, :] < n_kmers[:, None])
+    kc = np.clip(kvals, 0, K0 - 1)
+    tmu = np.where(kmask, np.take(mu, kc, axis=1), 0.0).astype(np.float32)
+    tsig = np.where(kmask, np.take(sigma, kc, axis=1), 1.0).astype(np.float32)
+    # f32 arithmetic to match the scan path's weak-typed f32 subtraction
+    c_full = np.float32(LOG_INV_SQRT_2PI) - log_sigma.astype(np.float32)
+    tc = np.where(kmask, np.take(c_full, kc, axis=1), C_PAD).astype(np.float32)
+
+    return dict(evr=evr, tmu=tmu, tsig=tsig, tc=tc,
+                nev=n_events.reshape(B, 1), nk=n_kmers.reshape(B, 1),
+                Tp=Tp, Kp=Kp, K0=K0)
+
+
+def transition_params_f32(n_events, n_kmers):
+    """lp_stay/lp_step per read (raw_loader.cpp:98-107), f64 math -> f32."""
+    epk = np.asarray(n_events, np.float64).reshape(-1) / np.maximum(
+        np.asarray(n_kmers, np.float64).reshape(-1), 1)
+    p_stay = 1.0 - 1.0 / (epk + 1.0)
+    lp_stay = np.log(p_stay)
+    lp_step = np.log(1.0 - math.exp(LP_SKIP) - np.exp(lp_stay))
+    return (lp_stay.astype(np.float32)[:, None],
+            lp_step.astype(np.float32)[:, None])
+
+
+# ---------------------------------------------------------------------------
+# Fill kernel
+# ---------------------------------------------------------------------------
+
+def _align_left(stage, r_vec):
+    """Vectorized left-rotate of stage [B, 384] by per-read r_vec [B, 1]
+    (0..127), as 7 conditional static rolls.  pltpu.roll with a *traced*
+    shift miscompiles on this toolchain (verified on hardware), so the
+    rotate is decomposed into static power-of-two rolls gated per read."""
+    x = stage
+    for bit in (64, 32, 16, 8, 4, 2, 1):
+        x = jnp.where((r_vec & bit) != 0, _roll_l(x, bit), x)
+    return x
+
+
+def _refill_windows(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
+                    ll_e, bi0, ew, kmu, ksig, kc, stage, Tp):
+    """Per-read window reload (start of each grid step).  Loads are
+    128-aligned (the only lane-dim dynamic slice Mosaic vectorizes);
+    the sub-128 realignment happens vectorized across the batch."""
+    B = ew.shape[0]
+
+    # vector side: window start columns (j >= 0 by construction).  The
+    # windows are positioned for the band *before* bi0, whose lower-left
+    # kmer is ll_k = (bi0 - 1) - 2 - ll_e.
+    j0e = (Tp + 127) - jnp.minimum(ll_e[:], nev_ref[:] + 127)
+    j0k = 128 + jnp.minimum((bi0 - 3) - ll_e[:], nk_ref[:])
+
+    def scalar_j0e(b):
+        return (Tp + 127) - jnp.minimum(ll_e[b, 0], nev_ref[b, 0] + 127)
+
+    def scalar_j0k(b):
+        return 128 + jnp.minimum((bi0 - 3) - ll_e[b, 0], nk_ref[b, 0])
+
+    for j0, scalar_j0, srcs in (
+            (j0e, scalar_j0e, ((evr_ref, ew),)),
+            (j0k, scalar_j0k, ((tmu_ref, kmu), (tsig_ref, ksig),
+                               (tc_ref, kc)))):
+        r_vec = j0 & 127
+        for src_ref, w in srcs:
+            for b in range(B):
+                jb = scalar_j0(b)
+                ab = pl.multiple_of(jb - (jb & 127), 128)
+                stage[b, :] = src_ref[b, pl.ds(ab, 384)]
+            w[:] = _align_left(stage[:], r_vec)[:, :WIN]
+
+
+def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
+                 lps_ref, lpt_ref,
+                 trace_ref, em_ref, lle_ref, bests_ref, beste_ref,
+                 s_prev, s_prev2, ew, kmu, ksig, kc,
+                 ll_e, r_prev, best_s, best_e, acc, stage, Tp):
+    i = pl.program_id(0)
+    B = s_prev.shape[0]
+    lanes = _iota_b(B, LANES)
+    lane_hi = lanes >= BANDWIDTH                       # offsets >= 100
+
+    nev = nev_ref[:, 0:1]
+    nk = nk_ref[:, 0:1]
+    lp_stay = lps_ref[:, 0:1]
+    lp_step = lpt_ref[:, 0:1]
+
+    @pl.when(i == 0)
+    def _():
+        off = _iota_b(B, LANES)
+        # band 0: score 0 at the start cell (kmer -1, offset 50)
+        s_prev2[:] = jnp.where(off == HALF_BANDWIDTH, 0.0, NEG_INF)
+        # band 1 (= move_down): first-event trim at offset 50
+        s_prev[:] = jnp.where(off == HALF_BANDWIDTH, LP_TRIM, NEG_INF)
+        ll_e[:] = jnp.full((B, 1), HALF_BANDWIDTH, jnp.int32)
+        r_prev[:] = jnp.zeros((B, 1), jnp.int32)
+        best_s[:] = jnp.full((B, 1), NEG_INF, jnp.float32)
+        best_e[:] = jnp.zeros((B, 1), jnp.int32)
+
+    bi0 = 2 + i * CHUNK
+    _refill_windows(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
+                    ll_e, bi0, ew, kmu, ksig, kc, stage, Tp)
+
+    def band(c, _):
+        bi = bi0 + c
+        sp = s_prev[:]
+        sp2 = s_prev2[:]
+
+        # --- adaptive placement (raw_loader.cpp:175-195) ---
+        ll = sp[:, 0:1]
+        ur = sp[:, BANDWIDTH - 1:BANDWIDTH]
+        both_ob = (ll < OB) & (ur < OB)
+        parity = jax.lax.rem(bi, 2) == 1
+        right = jnp.where(both_ob, parity, ll < ur)    # [B,1] bool
+        r_i = right.astype(jnp.int32)
+        ll_e_new = ll_e[:] + (1 - r_i)
+        ll_k_new = (bi - 2) - ll_e_new
+
+        # --- window maintenance ---
+        ew_v = ew[:]
+        ew_v = jnp.where(right, ew_v, pltpu.roll(ew_v, 1, 1))
+        ew[:] = ew_v
+        kmu_v = jnp.where(right, _roll_l(kmu[:]), kmu[:])
+        ksig_v = jnp.where(right, _roll_l(ksig[:]), ksig[:])
+        kc_v = jnp.where(right, _roll_l(kc[:]), kc[:])
+        kmu[:] = kmu_v
+        ksig[:] = ksig_v
+        kc[:] = kc_v
+
+        # --- neighbor alignment (circular roll junk only reaches the
+        # masked lanes >= 100, which hold -inf in s_prev/s_prev2) ---
+        sp_l = _roll_l(sp)
+        sp_r = pltpu.roll(sp, 1, 1)
+        up = jnp.where(right, sp_l, sp)
+        left = jnp.where(right, sp, sp_r)
+        amt = r_prev[:] + r_i - 1                      # in {-1, 0, 1}
+        diag = jnp.where(amt == 1, _roll_l(sp2),
+                         jnp.where(amt == 0, sp2, pltpu.roll(sp2, 1, 1)))
+
+        # --- emission in the reference's f32 operation order ---
+        ev_band = ew_v[:, LANES:WIN]
+        a = (ev_band - kmu_v[:, 0:LANES]) / ksig_v[:, 0:LANES]
+        em = kc_v[:, 0:LANES] + (-0.5 * a) * a
+
+        sd = (diag + lp_step) + em
+        su = (up + lp_stay) + em
+        sl = left + LP_SKIP
+        m2 = jnp.maximum(sd, su)
+        m3 = jnp.maximum(m2, sl)
+        tr = jnp.where(sl >= m2, FROM_L,
+                       jnp.where(su >= sd, FROM_U, FROM_D))   # ties: L > U > D
+        cell = m3
+
+        # --- trim column ki == -1 (raw_loader.cpp:215-225) ---
+        o_trim = -1 - ll_k_new
+        ei_trim = ll_e_new - o_trim
+        off_ok = (o_trim >= 0) & (o_trim < BANDWIDTH)
+        ei_ok = (ei_trim >= 0) & (ei_trim < nev)
+        trim_val = LP_TRIM * (ei_trim.astype(jnp.float32) + 1.0)
+        m_tr = (lanes == o_trim) & off_ok
+        cell = jnp.where(m_tr, jnp.where(ei_ok, trim_val, NEG_INF), cell)
+        tr = jnp.where(m_tr & ei_ok, FROM_U, tr)
+
+        cell = jnp.where(lane_hi, NEG_INF, cell)
+
+        # --- trailing-trim end tracking (raw_loader.cpp:313-324):
+        # each band holds at most one (event, last-kmer) cell ---
+        o_end = (nk - 1) - ll_k_new
+        ei_end = ll_e_new - o_end
+        v_end = jnp.max(jnp.where(lanes == o_end, cell, NEG_INF),
+                        axis=1, keepdims=True)
+        end_ok = (o_end >= 0) & (o_end < BANDWIDTH) & \
+            (ei_end >= 0) & (ei_end < nev)
+        endsc = v_end + (nev - ei_end).astype(jnp.float32) * LP_TRIM
+        better = end_ok & (endsc > best_s[:])
+        best_s[:] = jnp.where(better, endsc, best_s[:])
+        best_e[:] = jnp.where(better, ei_end, best_e[:])
+
+        # --- outputs: emission row + packed trace (decision bit at 127) ---
+        em_ref[c, :, :] = em
+        tr = jnp.where(lanes == LANES - 1, r_i, tr)
+        m = jax.lax.rem(c, PACK)
+        packed = jnp.where(m == 0, jnp.zeros_like(acc[:]), acc[:]) | \
+            jax.lax.shift_left(tr, 2 * m)
+        acc[:] = packed
+
+        @pl.when(m == PACK - 1)
+        def _():
+            trace_ref[c // PACK, :, :] = packed
+
+        s_prev2[:] = sp
+        s_prev[:] = cell
+        ll_e[:] = ll_e_new
+        r_prev[:] = r_i
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, band, 0, unroll=False)
+
+    lle_ref[:] = ll_e[:]
+    bests_ref[:] = best_s[:]
+    beste_ref[:] = best_e[:]
+
+
+# ---------------------------------------------------------------------------
+# Backtrack kernel
+# ---------------------------------------------------------------------------
+
+def _backtrack_kernel(trace_ref, em_ref, nk_ref, lle_ref, beste_ref, bok_ref,
+                      rows_k_ref, rows_e_ref, sumem_ref, stats_ref,
+                      cur_e, cur_k, ll_e, active, sum_em,
+                      n_pairs, cur_gap, max_gap, last_ki, min_ev, max_ev):
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    B = cur_e.shape[0]
+    lanes = _iota_b(B, LANES)
+
+    @pl.when(i == 0)
+    def _():
+        cur_k[:] = nk_ref[:, 0:1] - 1
+        cur_e[:] = beste_ref[:, 0:1]
+        ll_e[:] = lle_ref[:, 0:1]
+        active[:] = bok_ref[:, 0:1]
+        sum_em[:] = jnp.zeros((B, 1), jnp.float32)
+        n_pairs[:] = jnp.zeros((B, 1), jnp.int32)
+        cur_gap[:] = jnp.zeros((B, 1), jnp.int32)
+        max_gap[:] = jnp.zeros((B, 1), jnp.int32)
+        last_ki[:] = jnp.full((B, 1), -1, jnp.int32)
+        min_ev[:] = jnp.full((B, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
+        max_ev[:] = jnp.full((B, 1), -1, jnp.int32)
+
+    bi0 = 2 + (n_steps - 1 - i) * CHUNK
+
+    def band(cc, _):
+        c = CHUNK - 1 - cc
+        bi = bi0 + c
+
+        packed = trace_ref[c // PACK, :, :]
+        sh = 2 * jax.lax.rem(c, PACK)
+        code_all = jax.lax.shift_right_logical(packed, sh) & 3
+        right = code_all[:, LANES - 1:LANES]            # band decision bit
+
+        act = (active[:] > 0) & ((cur_e[:] + cur_k[:] + 2) == bi)
+        off = ll_e[:] - cur_e[:]
+        code = jnp.max(jnp.where(lanes == off, code_all, 0),
+                       axis=1, keepdims=True)
+        em_row = em_ref[c, :, :]
+        em = jnp.max(jnp.where(lanes == off, em_row, NEG_INF),
+                     axis=1, keepdims=True)
+
+        is_d = act & (code == FROM_D)
+        is_u = act & (code == FROM_U)
+        is_l = act & (code == FROM_L)
+
+        sum_em[:] = jnp.where(act, sum_em[:] + em, sum_em[:])
+        n_pairs[:] = n_pairs[:] + act.astype(jnp.int32)
+        cur_gap[:] = jnp.where(act,
+                               jnp.where(is_l, cur_gap[:] + 1, 0), cur_gap[:])
+        max_gap[:] = jnp.maximum(max_gap[:], cur_gap[:])
+        last_ki[:] = jnp.where(act, cur_k[:], last_ki[:])
+        min_ev[:] = jnp.where(act, jnp.minimum(min_ev[:], cur_e[:]), min_ev[:])
+        max_ev[:] = jnp.where(act, jnp.maximum(max_ev[:], cur_e[:]), max_ev[:])
+
+        dec_k = (is_d | is_l).astype(jnp.int32)
+        dec_e = (is_d | is_u).astype(jnp.int32)
+        k_next = cur_k[:] - dec_k
+        e_next = cur_e[:] - dec_e
+        terminates = (k_next < 0) | (e_next < 0)
+        # a pair enters the base->event map iff its event differs from the
+        # previous (forward-order) pair's event (squiggle_read.cpp:284-299)
+        map_valid = act & ((~is_l) | terminates)
+
+        rows_k_ref[c, :] = jnp.where(map_valid, cur_k[:], -1)[:, 0]
+        rows_e_ref[c, :] = jnp.where(map_valid, cur_e[:], -1)[:, 0]
+
+        cur_k[:] = k_next
+        cur_e[:] = e_next
+        active[:] = jnp.where(act & terminates, 0, active[:])
+        ll_e[:] = ll_e[:] - (1 - right)
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, band, 0, unroll=False)
+
+    sumem_ref[:] = sum_em[:]
+    stats_ref[:, 0:1] = n_pairs[:]
+    stats_ref[:, 1:2] = max_gap[:]
+    stats_ref[:, 2:3] = last_ki[:]
+    stats_ref[:, 3:4] = min_ev[:]
+    stats_ref[:, 4:5] = max_ev[:]
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("Tp", "interpret"))
+def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False):
+    B = evr.shape[0]
+    Kp = tmu.shape[1] - 512
+    n_steps = (Tp + Kp) // CHUNK
+    out_shape = (
+        jax.ShapeDtypeStruct((n_steps * CHUNK // PACK, B, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_steps * CHUNK, B, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),       # ll_e final
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),     # best_s
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),       # best_e
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fixed = pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fill_kernel, Tp=Tp),
+        grid=(n_steps,),
+        in_specs=[full] * 4 + [fixed] * 4,
+        out_specs=(
+            pl.BlockSpec((CHUNK // PACK, B, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            fixed, fixed, fixed,
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((B, LANES), jnp.float32),   # s_prev
+            pltpu.VMEM((B, LANES), jnp.float32),   # s_prev2
+            pltpu.VMEM((B, WIN), jnp.float32),     # ew
+            pltpu.VMEM((B, WIN), jnp.float32),     # kmu
+            pltpu.VMEM((B, WIN), jnp.float32),     # ksig
+            pltpu.VMEM((B, WIN), jnp.float32),     # kc
+            pltpu.VMEM((B, 1), jnp.int32),         # ll_e
+            pltpu.VMEM((B, 1), jnp.int32),         # r_prev
+            pltpu.VMEM((B, 1), jnp.float32),       # best_s
+            pltpu.VMEM((B, 1), jnp.int32),         # best_e
+            pltpu.VMEM((B, LANES), jnp.int32),     # trace pack acc
+            pltpu.VMEM((B, 384), jnp.float32),     # refill staging
+        ],
+        interpret=interpret,
+    )(evr, tmu, tsig, tc, nev, nk, lps, lpt)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _backtrack_call(trace, em_rows, nk, lle, best_e, best_ok, interpret=False):
+    n_rows, B, _ = trace.shape
+    n_steps = n_rows * PACK // CHUNK
+    out_shape = (
+        jax.ShapeDtypeStruct((n_steps * CHUNK, B), jnp.int32),   # rows_k
+        jax.ShapeDtypeStruct((n_steps * CHUNK, B), jnp.int32),   # rows_e
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),               # sum_em
+        jax.ShapeDtypeStruct((B, 8), jnp.int32),                 # stats
+    )
+    fixed = pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    rev3t = lambda i: (n_steps - 1 - i, 0, 0)
+    rev2 = lambda i: (n_steps - 1 - i, 0)
+    return pl.pallas_call(
+        _backtrack_kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((CHUNK // PACK, B, LANES), rev3t,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, LANES), rev3t, memory_space=pltpu.VMEM),
+            fixed, fixed, fixed, fixed,
+        ],
+        out_specs=(
+            pl.BlockSpec((CHUNK, B), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B), rev2, memory_space=pltpu.VMEM),
+            fixed,
+            pl.BlockSpec((B, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((B, 1), jnp.int32) for _ in range(4)] +
+        [pltpu.VMEM((B, 1), jnp.float32)] +
+        [pltpu.VMEM((B, 1), jnp.int32) for _ in range(6)],
+        interpret=interpret,
+    )(trace, em_rows, nk, lle, best_e, best_ok)
+
+
+@functools.partial(jax.jit, static_argnames=("K0",))
+def _b2e_from_pairs(rows_k, rows_e, failed, K0):
+    """Scatter backtrack pairs into per-kmer first/last event maps."""
+    nB, B = rows_k.shape
+    valid = (rows_k >= 0) & jnp.logical_not(failed[None, :])
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (nB, B), 1)
+    flat = jnp.where(valid, bidx * K0 + jnp.clip(rows_k, 0, K0 - 1), B * K0)
+    ev = jnp.where(valid, rows_e, 0)
+    big = jnp.iinfo(jnp.int32).max
+    starts = jnp.full((B * K0 + 1,), big, jnp.int32).at[flat.ravel()].min(ev.ravel())
+    stops = jnp.full((B * K0 + 1,), -1, jnp.int32).at[flat.ravel()].max(ev.ravel())
+    b2e_start = jnp.where(starts[:-1] == big, -1, starts[:-1]).reshape(B, K0)
+    b2e_stop = stops[:-1].reshape(B, K0)
+    return b2e_start, b2e_stop
+
+
+@functools.partial(jax.jit, static_argnames=("Tp", "K0", "interpret"))
+def _exact_align_device(evr, tmu, tsig, tc, nev, nk, lps, lpt,
+                        Tp, K0, interpret=False):
+    trace, em_rows, lle, best_s, best_e = _fill_call(
+        evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=interpret)
+    best_ok = (best_s > OB).astype(jnp.int32)
+    rows_k, rows_e, sum_em, stats = _backtrack_call(
+        trace, em_rows, nk, lle, best_e, best_ok, interpret=interpret)
+    n_pairs = stats[:, 0]
+    max_gap = stats[:, 1]
+    last_ki = stats[:, 2]
+    min_ev = stats[:, 3]
+    max_ev = stats[:, 4]
+    avg = sum_em[:, 0] / jnp.maximum(n_pairs, 1).astype(jnp.float32)
+    spanned = (last_ki == 0) & (n_pairs > 0)
+    failed = ((avg < MIN_AVG_LOG_EMISSION) | (~spanned) |
+              (max_gap > MAX_GAP_THRESHOLD) | (n_pairs == 0))
+    b2e_start, b2e_stop = _b2e_from_pairs(rows_k, rows_e, failed, K0)
+    epb = (max_ev - min_ev).astype(jnp.float32) / jnp.maximum(
+        nk[:, 0], 1).astype(jnp.float32)
+    return BandedAlignResult(
+        b2e_start=jnp.where(failed[:, None], -1, b2e_start),
+        b2e_stop=jnp.where(failed[:, None], -1, b2e_stop),
+        failed=failed,
+        avg_log_emission=avg,
+        spanned=spanned,
+        max_gap=max_gap,
+        events_per_base=epb,
+        n_pairs=n_pairs,
+    )
+
+
+def _pad_batch(n, lo=8):
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def banded_align_exact(event_mean, n_events, mu, sigma, log_sigma, n_kmers,
+                       lp_stay=None, lp_step=None, interpret=None):
+    """Reference-exact batched adaptive banded event alignment (Pallas).
+
+    Same signature/result as ops.banded_align.banded_align_batch; batch is
+    processed in chunks of <= 32 reads (VMEM-resident inputs).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    event_mean = np.asarray(event_mean, np.float32)
+    n_events = np.asarray(n_events, np.int32)
+    n_kmers = np.asarray(n_kmers, np.int32)
+    B = event_mean.shape[0]
+    if lp_stay is None:
+        lp_stay, lp_step = transition_params_f32(n_events, n_kmers)
+    lp_stay = np.asarray(lp_stay, np.float32).reshape(B, 1)
+    lp_step = np.asarray(lp_step, np.float32).reshape(B, 1)
+
+    outs = []
+    for lo in range(0, B, 32):
+        hi = min(lo + 32, B)
+        Bc = _pad_batch(hi - lo)
+        sl = slice(lo, hi)
+        pad = Bc - (hi - lo)
+
+        def padded(x, fill=0):
+            x = np.asarray(x)
+            if pad:
+                shape = (pad,) + x.shape[1:]
+                x = np.concatenate([x, np.full(shape, fill, x.dtype)], axis=0)
+            return x
+
+        prep = prepare_exact_inputs(
+            padded(event_mean[sl]), padded(n_events[sl], 1),
+            padded(mu[sl]), padded(sigma[sl], 1.0), padded(log_sigma[sl]),
+            padded(n_kmers[sl], 2))
+        res = _exact_align_device(
+            prep["evr"], prep["tmu"], prep["tsig"], prep["tc"],
+            prep["nev"], prep["nk"], padded(lp_stay[sl]), padded(lp_step[sl]),
+            prep["Tp"], prep["K0"], interpret=interpret)
+        if pad:
+            res = BandedAlignResult(*(v[:hi - lo] for v in res))
+        outs.append(res)
+    if len(outs) == 1:
+        return outs[0]
+    return BandedAlignResult(*(jnp.concatenate(vs, axis=0)
+                               for vs in zip(*outs)))
