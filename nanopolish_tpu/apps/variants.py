@@ -57,6 +57,10 @@ class Opts:
     calculate_all_support = False
     verbose = False
     methylation_types: List[str] = []
+    # hmm_indel_bias_factor (profile_hmm_r9.cpp:14-19): 1.0 until main()
+    # applies the mode default 0.9 (consensus) / 0.8 (calling) from
+    # call_variants.cpp:1114-1117, or the -i override.
+    indel_bias = 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -82,10 +86,11 @@ class ScoreBatcher:
     profile_hmm_score_set value (log-mean over alternative sequences,
     profile_hmm.cpp:32-56)."""
 
-    def __init__(self):
+    def __init__(self, indel_bias: float = 1.0):
         self._segments: List[HMMSegment] = []
         self._units: List[Tuple[int, int]] = []   # (start, count) into segments
         self._results: Optional[np.ndarray] = None
+        self._indel_bias = indel_bias
 
     def add(self, sequences: List[HMMInputSequence], data: EventSequence) -> int:
         start = len(self._segments)
@@ -102,8 +107,9 @@ class ScoreBatcher:
         return len(self._units) - 1
 
     def flush(self):
-        scores = forward_segments(self._segments) if self._segments else \
-            np.zeros(0, np.float32)
+        scores = forward_segments(self._segments,
+                                  indel_bias=self._indel_bias) \
+            if self._segments else np.zeros(0, np.float32)
         out = np.zeros(len(self._units), np.float64)
         for i, (start, count) in enumerate(self._units):
             vals = scores[start:start + count].astype(np.float64)
@@ -115,11 +121,12 @@ class ScoreBatcher:
         return float(self._results[unit_idx])
 
 
-def score_variants_batched(variant_jobs, methylation_types) -> List[float]:
+def score_variants_batched(variant_jobs, methylation_types,
+                           indel_bias: float = 1.0) -> List[float]:
     """Each job: (base_haplotype, variant, event_sequences).  Returns the
     summed (variant - base) score over reads per job
     (score_variant_thresholded semantics, without the early exit)."""
-    b = ScoreBatcher()
+    b = ScoreBatcher(indel_bias)
     per_job_units = []
     for base_hap, variant, events in variant_jobs:
         var_hap = Haplotype(base_hap.ref_name, base_hap.ref_position,
@@ -189,7 +196,8 @@ def generate_candidate_single_base_edits(alignments: AlignmentDB,
                             contig, calling_start, calling_end))
         for v in tmp:
             jobs.append((hap, v, events))
-    scores = score_variants_batched(jobs, opts.methylation_types)
+    scores = score_variants_batched(jobs, opts.methylation_types,
+                                    opts.indel_bias)
     out = []
     for (hap, v, events), q in zip(jobs, scores):
         if q > 0:
@@ -220,7 +228,8 @@ def screen_variants_by_score(alignments: AlignmentDB,
                                                    calling_end)
         jobs.append((hap, v, events))
         kept.append(v)
-    scores = score_variants_batched(jobs, opts.methylation_types)
+    scores = score_variants_batched(jobs, opts.methylation_types,
+                                    opts.indel_bias)
     out = []
     for v, q in zip(kept, scores):
         if q > 0:
@@ -272,7 +281,7 @@ def annotate_variants_with_all_support(variants, alignments: AlignmentDB,
     ref_hap = Haplotype(alignments.get_region_contig(),
                         alignments.get_region_start(),
                         alignments.get_reference())
-    b = ScoreBatcher()
+    b = ScoreBatcher(opts.indel_bias)
     jobs = []
     for v in variants:
         calling_start = v.ref_position - opts.min_flanking_sequence
@@ -356,7 +365,7 @@ def score_variant_group(group: VariantGroup, base_haplotype: Haplotype,
         read_ids.append(rid)
         group.set_read_strand(rid, ev.rc)
 
-    b = ScoreBatcher()
+    b = ScoreBatcher(opts.indel_bias)
     units = []
     for ri, ev in enumerate(events):
         for hap, vc_idx in haplotypes:
@@ -577,8 +586,8 @@ def fix_homopolymers(input_haplotype: Haplotype, alignments: AlignmentDB,
 
     if not tasks:
         return fixed
-    backs = viterbi_segments(vit_segs)
-    fwd_scores = forward_segments(fwd_segs)
+    backs = viterbi_segments(vit_segs, indel_bias=opts.indel_bias)
+    fwd_scores = forward_segments(fwd_segs, indel_bias=opts.indel_bias)
 
     per_hp_dur = {id(hp): np.zeros(MAX_HP_LENGTH + 1) for hp in hps}
     per_hp_ev = {id(hp): np.zeros(MAX_HP_LENGTH + 1) for hp in hps}
@@ -783,6 +792,13 @@ def make_parser() -> argparse.ArgumentParser:
                    help="per-round candidate/call diagnostics on stderr")
     p.add_argument("--calculate-all-support", action="store_true")
     p.add_argument("--models-fofn", default="")
+    p.add_argument("-i", "--indel-bias", type=float, default=None,
+                   help="HMM indel bias factor; default 0.9 (consensus) / "
+                        "0.8 (calling) per call_variants.cpp:1114-1117")
+    p.add_argument("--p-skip", type=float, default=None)
+    p.add_argument("--p-skip-self", type=float, default=None)
+    p.add_argument("--p-bad", type=float, default=None)
+    p.add_argument("--p-bad-self", type=float, default=None)
     return p
 
 
@@ -812,6 +828,13 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         opts.methylation_types = opt.methylation_aware.split(",")
     if opt.consensus:
         opts.ploidy = 1
+    # hmm indel bias default by mode, unless -i overrides
+    # (call_variants.cpp:1108-1117)
+    opts.indel_bias = opt.indel_bias if opt.indel_bias is not None \
+        else (0.9 if opt.consensus else 0.8)
+    from ..ops.profile_hmm import TransitionKnobs
+    TransitionKnobs.set(p_skip=opt.p_skip, p_skip_self=opt.p_skip_self,
+                        p_bad=opt.p_bad, p_bad_self=opt.p_bad_self)
 
     candidates = None
     if opt.genotype:

@@ -231,9 +231,9 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
         ll = sp[:, 0:1]
         ur = sp[:, BANDWIDTH - 1:BANDWIDTH]
         both_ob = (ll < OB) & (ur < OB)
-        parity = jax.lax.rem(bi, 2) == 1
-        right = jnp.where(both_ob, parity, ll < ur)    # [B,1] bool
-        r_i = right.astype(jnp.int32)
+        parity_i = jax.lax.rem(bi, 2)                  # traced scalar int
+        r_i = jnp.where(both_ob, parity_i, (ll < ur).astype(jnp.int32))
+        right = r_i > 0                                # [B,1] bool
         ll_e_new = ll_e[:] + (1 - r_i)
         ll_k_new = (bi - 2) - ll_e_new
 
@@ -301,8 +301,12 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
         em_ref[c, :, :] = em
         tr = jnp.where(lanes == LANES - 1, r_i, tr)
         m = jax.lax.rem(c, PACK)
-        packed = jnp.where(m == 0, jnp.zeros_like(acc[:]), acc[:]) | \
-            jax.lax.shift_left(tr, 2 * m)
+
+        @pl.when(m == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc[:])
+
+        packed = acc[:] | jnp.left_shift(tr, 2 * m)
         acc[:] = packed
 
         @pl.when(m == PACK - 1)
@@ -357,7 +361,7 @@ def _backtrack_kernel(trace_ref, em_ref, nk_ref, lle_ref, beste_ref, bok_ref,
 
         packed = trace_ref[c // PACK, :, :]
         sh = 2 * jax.lax.rem(c, PACK)
-        code_all = jax.lax.shift_right_logical(packed, sh) & 3
+        code_all = jnp.right_shift(packed, sh) & 3
         right = code_all[:, LANES - 1:LANES]            # band decision bit
 
         act = (active[:] > 0) & ((cur_e[:] + cur_k[:] + 2) == bi)

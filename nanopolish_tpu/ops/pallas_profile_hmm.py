@@ -223,18 +223,29 @@ def _profile_hmm_forward_call(ev, a_tab, b2_tab, c0_tab, nev, nk, trans,
 
 
 def _np_transitions(events_per_base, indel_bias: float,
-                    p_skip=0.0025, p_bad=0.001, p_skip_self=0.3):
+                    p_skip=None, p_bad=None, p_skip_self=None,
+                    p_bad_self=None):
     """make_transitions in pure numpy (r9.inl:17-76): jnp here would issue
-    a device dispatch per op — hundreds of ms of RTT on remote chips."""
+    a device dispatch per op — hundreds of ms of RTT on remote chips.
+    Defaults follow the process-wide TransitionKnobs overrides."""
+    from .profile_hmm import TransitionKnobs
+    p_skip = TransitionKnobs.p_skip if p_skip is None else p_skip
+    p_bad = TransitionKnobs.p_bad if p_bad is None else p_bad
+    p_skip_self = (TransitionKnobs.p_skip_self if p_skip_self is None
+                   else p_skip_self)
+    if p_bad_self is None:
+        p_bad_self = TransitionKnobs.p_bad_self
+    if p_bad_self is None:
+        p_bad_self = p_bad
     epb = np.maximum(1.25, np.asarray(events_per_base, np.float64) * indel_bias)
     p_stay = 1.0 - 1.0 / epb
     p_mm_next = 1.0 - p_stay - p_skip - p_bad
-    p_b3 = (1.0 - p_bad) / 3.0
+    p_b3 = (1.0 - p_bad_self) / 3.0
     cols = [np.full_like(p_stay, np.log(p_skip)),        # lp_mk
             np.full_like(p_stay, np.log(p_bad)),         # lp_mb
             np.log(p_stay),                              # lp_mm_self
             np.log(p_mm_next),                           # lp_mm_next
-            np.full_like(p_stay, np.log(p_bad)),         # lp_bb
+            np.full_like(p_stay, np.log(p_bad_self)),    # lp_bb
             np.full_like(p_stay, np.log(p_b3)),          # lp_b3 (= lp_bk)
             np.full_like(p_stay, np.log(p_skip_self)),   # lp_kk
             np.full_like(p_stay, np.log(1 - p_skip_self))]  # lp_km

@@ -80,10 +80,47 @@ class BlockTransitions(NamedTuple):
     lp_km: jnp.ndarray
 
 
+class TransitionKnobs:
+    """Process-wide transition-probability overrides, mirroring the
+    reference's `g_p_skip/g_p_skip_self/g_p_bad/g_p_bad_self` globals
+    (call_variants.cpp:57,1050-1053; consumed in r9.inl:30-41).  In the
+    reference these only take effect when compiled with
+    USE_EXTERNAL_PARAMS; here `--p-skip` etc. always take effect."""
+
+    p_skip: float = 0.0025
+    p_bad: float = 0.001
+    p_bad_self: float = None       # None -> follows p_bad
+    p_skip_self: float = 0.3
+
+    @classmethod
+    def set(cls, p_skip=None, p_bad=None, p_bad_self=None, p_skip_self=None):
+        if p_skip is not None:
+            cls.p_skip = p_skip
+        if p_bad is not None:
+            cls.p_bad = p_bad
+        if p_bad_self is not None:
+            cls.p_bad_self = p_bad_self
+        if p_skip_self is not None:
+            cls.p_skip_self = p_skip_self
+
+    @classmethod
+    def reset(cls):
+        cls.p_skip, cls.p_bad = 0.0025, 0.001
+        cls.p_bad_self, cls.p_skip_self = None, 0.3
+
+
 def make_transitions(events_per_base, indel_bias: float = 1.0,
-                     p_skip: float = 0.0025, p_bad: float = 0.001,
-                     p_bad_self: float = None, p_skip_self: float = 0.3):
+                     p_skip: float = None, p_bad: float = None,
+                     p_bad_self: float = None, p_skip_self: float = None):
     """r9.inl:17-76. events_per_base is [B] float32."""
+    if p_skip is None:
+        p_skip = TransitionKnobs.p_skip
+    if p_bad is None:
+        p_bad = TransitionKnobs.p_bad
+    if p_bad_self is None:
+        p_bad_self = TransitionKnobs.p_bad_self
+    if p_skip_self is None:
+        p_skip_self = TransitionKnobs.p_skip_self
     if p_bad_self is None:
         p_bad_self = p_bad
     epb = jnp.maximum(1.25, jnp.asarray(events_per_base, jnp.float32) * indel_bias)
@@ -388,13 +425,17 @@ def profile_hmm_reference(levels, mu, sigma, log_sigma, events_per_base,
     n_kmers = len(mu)
     epb = max(1.25, events_per_base * indel_bias)
     p_stay = 1 - 1 / epb
-    p_skip, p_bad, p_skip_self = 0.0025, 0.001, 0.3
+    p_skip, p_bad = TransitionKnobs.p_skip, TransitionKnobs.p_bad
+    p_skip_self = TransitionKnobs.p_skip_self
+    p_bad_self = TransitionKnobs.p_bad_self
+    if p_bad_self is None:
+        p_bad_self = p_bad
     lp_mk = math.log(p_skip)
     lp_mb = math.log(p_bad)
     lp_mm_self = math.log(p_stay)
     lp_mm_next = math.log(1.0 - p_stay - p_skip - p_bad)
-    lp_bb = math.log(p_bad)
-    lp_b3 = math.log((1.0 - p_bad) / 3)
+    lp_bb = math.log(p_bad_self)
+    lp_b3 = math.log((1.0 - p_bad_self) / 3)
     lp_kk = math.log(p_skip_self)
     lp_km = math.log(1 - p_skip_self)
 
