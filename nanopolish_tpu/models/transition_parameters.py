@@ -30,6 +30,10 @@ class TransitionParameters:
     n_bins: int = 30
     trans_m_to_e_not_k: float = 0.15
     trans_e_to_e: float = 0.33
+    # soft-clip transitions, fixed across kits
+    # (transition_parameters.cpp:42-43)
+    trans_start_to_clip: float = 0.5
+    trans_clip_self: float = 0.90
 
     def __post_init__(self):
         self.skip_probabilities = np.full(self.n_bins, 0.1)
@@ -39,6 +43,40 @@ class TransitionParameters:
         self.n_matches = 0
         self.n_merges = 0
         self.n_skips = 0
+
+    # ------------------------------------------------------------------
+    # kit-trained initialization tables for the legacy R7 chemistries
+    # (transition_parameters.cpp:76-155); the values are the reference's
+    # trained constants.  R9 uses fixed transitions instead (r9.inl:17-76).
+    @classmethod
+    def for_kit(cls, kit: str, strand_idx: int = 0) -> "TransitionParameters":
+        tp = cls()
+        if kit == "sqkmap005":
+            tp.trans_m_to_e_not_k, tp.trans_e_to_e = 0.15, 0.33
+            tp.skip_probabilities = np.array([
+                0.51268137, 0.47243219, 0.42888741, 0.34932588, 0.27427068,
+                0.22297225, 0.17585147, 0.14705882, 0.12183525, 0.11344997,
+                0.10069393, 0.09153005, 0.08765206, 0.08491435, 0.08272553,
+                0.07747396, 0.08439116, 0.07819045, 0.07337461, 0.07020490,
+                0.06869961, 0.06576609, 0.06923376, 0.06239092, 0.06586513,
+                0.07372986, 0.07050360, 0.07228916, 0.05855856, 0.06842737])
+        elif kit == "sqkmap006" and strand_idx == 0:
+            tp.trans_m_to_e_not_k, tp.trans_e_to_e = 0.17, 0.55
+            tp.skip_probabilities = np.array([
+                0.487, 0.412, 0.311, 0.229, 0.174, 0.134, 0.115, 0.103,
+                0.096, 0.092, 0.088, 0.087, 0.084, 0.085, 0.083, 0.082,
+                0.085, 0.083, 0.084, 0.082, 0.080, 0.085, 0.088, 0.086,
+                0.087, 0.089, 0.085, 0.090, 0.087, 0.096])
+        elif kit == "sqkmap006":
+            tp.trans_m_to_e_not_k, tp.trans_e_to_e = 0.14, 0.49
+            tp.skip_probabilities = np.array([
+                0.531, 0.478, 0.405, 0.327, 0.257, 0.207, 0.172, 0.154,
+                0.138, 0.132, 0.127, 0.123, 0.117, 0.115, 0.113, 0.113,
+                0.115, 0.109, 0.109, 0.107, 0.104, 0.105, 0.108, 0.106,
+                0.111, 0.114, 0.118, 0.119, 0.110, 0.119])
+        else:
+            raise ValueError(f"unknown legacy kit {kit!r}")
+        return tp
 
     # ------------------------------------------------------------------
     def get_skip_bin(self, level1: float, level2: float) -> int:
