@@ -50,6 +50,10 @@ def main(argv=None):
     if cmd is None:
         print(f"error: unrecognized command {argv[0]!r}", file=sys.stderr)
         return 1
+    # join the jax.distributed runtime when spawned by parallel.launch
+    # (no-op for plain single-process runs)
+    from .parallel.distributed import auto_init
+    auto_init()
     ret = cmd(argv[1:])
     # post-run read QC summary (src/main/nanopolish.cpp:87-97)
     report = GLOBAL_READ_STATS.report()

@@ -39,7 +39,8 @@ class EventSequence:
 
 class AlignmentDB:
     def __init__(self, reads_file: str, reference_file: str, bam_file: str,
-                 min_mapping_quality: int = 0):
+                 min_mapping_quality: int = 0, num_threads: int = 8):
+        self.num_threads = num_threads
         self.reads_file = reads_file
         self.reference_file = reference_file
         self.bam_file = bam_file
@@ -76,7 +77,8 @@ class AlignmentDB:
 
         names = sorted({r.qname for r in records})
         self._reads = load_squiggle_reads(names, self._read_db,
-                                          stats=GLOBAL_READ_STATS)
+                                          stats=GLOBAL_READ_STATS,
+                                          num_threads=self.num_threads)
 
         self.sequence_records = []
         self.event_records = []

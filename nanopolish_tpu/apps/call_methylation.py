@@ -511,7 +511,8 @@ def _call_single(opt, out):
     write_site_header(out)
     for batch in proc.batches():
         names = sorted({rec.qname for _, rec in batch})
-        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS)
+        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS,
+                                    num_threads=opt.threads)
         tasks = []
         for read_idx, rec in batch:
             sr = reads.get(rec.qname)

@@ -138,7 +138,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         names = sorted({r.qname for _, r in recs})
         reads = load_squiggle_reads(names, read_db,
                                     flags=SRF_LOAD_RAW_SAMPLES,
-                                    stats=GLOBAL_READ_STATS)
+                                    stats=GLOBAL_READ_STATS,
+                                    num_threads=opt.threads)
         jobs = []
         for read_idx, rec in recs:
             ref_name = proc.references[rec.tid]

@@ -266,7 +266,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     for batch in proc.batches():
         names = sorted({rec.qname for _, rec in batch})
         reads = load_squiggle_reads(names, read_db, flags=flags,
-                                    stats=GLOBAL_READ_STATS)
+                                    stats=GLOBAL_READ_STATS,
+                                    num_threads=opt.threads)
         jobs = []
         meta = []
         for read_idx, rec in batch:

@@ -68,7 +68,8 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
         else -1
     for batch in proc.batches():
         names = sorted({rec.qname for _, rec in batch})
-        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS)
+        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS,
+                                    num_threads=opt.threads)
         jobs = []
         for read_idx, rec in batch:
             sr = reads.get(rec.qname)

@@ -65,7 +65,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
 
     for batch in proc.batches():
         names = sorted({rec.qname for _, rec in batch})
-        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS)
+        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS,
+                                    num_threads=opt.threads)
         tasks = []       # scoring tasks: 2 segments per (read, variant)
         per_record = []
         for read_idx, rec in batch:

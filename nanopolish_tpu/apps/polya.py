@@ -29,12 +29,15 @@ def estimate_unaligned_duration_profile(sr, strand_idx: int) -> float:
     b2e = sr.base_to_event_map[strand_idx]
     durations = sr.events[strand_idx].duration
     n_kmers = b2e.shape[0]
-    per_kmer = np.zeros(n_kmers)
-    for i in range(n_kmers):
-        s, e = int(b2e[i, 0]), int(b2e[i, 1])
-        if s == -1:
-            continue
-        per_kmer[i] = durations[s:e + 1].sum()
+    # vectorized range-sums via the duration prefix sum:
+    # sum(durations[s:e+1]) = csum[e+1] - csum[s]
+    csum = np.concatenate([[0.0], np.cumsum(durations, dtype=np.float64)])
+    s = b2e[:, 0].astype(np.int64)
+    e = b2e[:, 1].astype(np.int64)
+    valid = s != -1
+    per_kmer = np.where(valid,
+                        csum[np.clip(e, 0, None) + 1] - csum[np.clip(s, 0, None)],
+                        0.0)
     per_kmer.sort()
     median = per_kmer[len(per_kmer) // 2]
     if median <= 0:
@@ -103,7 +106,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         names = sorted({r.qname for _, r in recs})
         reads = load_squiggle_reads(names, read_db,
                                     flags=SRF_LOAD_RAW_SAMPLES,
-                                    stats=GLOBAL_READ_STATS)
+                                    stats=GLOBAL_READ_STATS,
+                                    num_threads=opt.threads)
         jobs = []
         for read_idx, rec in recs:
             ref_name = proc.references[rec.tid]

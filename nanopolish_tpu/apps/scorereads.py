@@ -122,7 +122,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         recs = [(i, r) for i, r in batch
                 if not readnames or r.qname in readnames]
         names = sorted({r.qname for _, r in recs})
-        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS)
+        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS,
+                                    num_threads=opt.threads)
         jobs = []
         for read_idx, rec in recs:
             sr = reads.get(rec.qname)

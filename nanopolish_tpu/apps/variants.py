@@ -851,7 +851,8 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     except ValueError:
         raise SystemExit("variants requires a -w contig:start-end window")
 
-    alignments = AlignmentDB(opt.reads, opt.genome, opt.bam)
+    alignments = AlignmentDB(opt.reads, opt.genome, opt.bam,
+                             num_threads=opt.threads)
     haplotype = call_variants_for_region(contig, start_base, end_base,
                                          alignments, opts, candidates)
 

@@ -25,11 +25,10 @@ def durations_from_alignment(backtrack: Tuple[np.ndarray, np.ndarray, str],
     (generate_aligned_durations, duration_model.cpp:17-40)."""
     evs, kms, states = backtrack
     out = np.zeros(n_kmers)
-    for row in range(len(states)):
-        if states[row] == "K":
-            continue
-        event_idx = event_start_idx + int(evs[row]) * event_stride
-        out[int(kms[row])] += float(durations[event_idx])
+    emit = np.frombuffer(states.encode(), np.uint8) != ord("K")
+    if emit.any():
+        event_idx = event_start_idx + np.asarray(evs)[emit] * event_stride
+        np.add.at(out, np.asarray(kms)[emit], durations[event_idx])
     return out
 
 

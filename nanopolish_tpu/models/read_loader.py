@@ -18,33 +18,47 @@ from .squiggle import SquiggleRead
 
 
 def load_raw_inputs(read_names: Sequence[str], read_db: ReadDB,
-                    stats: Optional[ReadStats] = None) -> Dict[str, RawReadInput]:
-    """Fetch sequence + raw signal for each read name."""
+                    stats: Optional[ReadStats] = None,
+                    num_threads: int = 8) -> Dict[str, RawReadInput]:
+    """Fetch sequence + raw signal for each read name.
+
+    Signal loading (file seeks + zlib/zstd/svb decompression, which release
+    the GIL) is threaded across reads — the host-prep parallelism the
+    reference gets from `omp parallel for` in BamProcessor (the apps' `-t`
+    flag plumbs to num_threads).  Signal file handles are per-thread
+    (thread-local cache), so no handle is shared across threads.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..io import fast5 as f5
     from ..io.slow5 import Slow5File
 
-    out: Dict[str, RawReadInput] = {}
-    slow5_cache: Dict[str, Slow5File] = {}
-    for name in read_names:
+    tls = threading.local()
+
+    def fetch(name):
         seq = read_db.get_read_sequence(name)
         if not seq:
-            continue
+            return None
         path = read_db.get_signal_path(name)
         if not path:
-            continue
+            return None
         if path.endswith((".slow5", ".blow5")):
-            sf = slow5_cache.get(path)
+            cache = getattr(tls, "slow5", None)
+            if cache is None:
+                cache = tls.slow5 = {}
+            sf = cache.get(path)
             if sf is None:
-                sf = slow5_cache[path] = Slow5File(path)
+                sf = cache[path] = Slow5File(path)
             rec = sf.get_read(name)
             if rec is None:
-                continue
+                return None
             data = rec.to_fast5_data()
         else:
             data = f5.load_read(path, name)
             if not data.is_valid:
-                continue
-        out[name] = RawReadInput(
+                return None
+        return RawReadInput(
             read_name=name,
             sequence=seq,
             raw=data.rt,
@@ -54,15 +68,28 @@ def load_raw_inputs(read_names: Sequence[str], read_db: ReadDB,
             channel_id=data.channel_id,
             start_time=data.start_time,
         )
+
+    out: Dict[str, RawReadInput] = {}
+    if num_threads <= 1:
+        fetched = map(fetch, read_names)
+    else:
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            fetched = list(pool.map(fetch, read_names))
+    for name, inp in zip(read_names, fetched):
+        if inp is not None:
+            out[name] = inp
     return out
 
 
 def load_squiggle_reads(read_names: Sequence[str], read_db: ReadDB,
                         flags: int = 0,
                         stats: Optional[ReadStats] = None,
+                        num_threads: int = 8,
                         ) -> Dict[str, SquiggleRead]:
     """Batched SquiggleRead construction for a set of read names."""
-    inputs = load_raw_inputs(read_names, read_db, stats)
+    inputs = load_raw_inputs(read_names, read_db, stats,
+                             num_threads=num_threads)
     names = list(inputs)
-    reads = build_reads([inputs[n] for n in names], flags=flags, stats=stats)
+    reads = build_reads([inputs[n] for n in names], flags=flags, stats=stats,
+                        num_threads=num_threads)
     return {n: r for n, r in zip(names, reads) if r is not None}
