@@ -5,7 +5,17 @@ Usage: python -m nanopolish_tpu <subcommand> [args]
 
 from __future__ import annotations
 
+import os
 import sys
+
+# Platform pinning must happen before any backend use: this image's TPU
+# plugin overrides the JAX_PLATFORMS env var, so launcher children (and
+# tests) that need the CPU backend set NPT_PLATFORM instead, which wins
+# through jax.config as long as no backend has initialized yet.
+if os.environ.get("NPT_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["NPT_PLATFORM"])
 
 from .models.read_builder import GLOBAL_READ_STATS
 

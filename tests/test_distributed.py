@@ -77,6 +77,9 @@ def _run_launch(n, p, tag, extra_env=None):
     t0 = time.perf_counter()
     env_bak = dict(os.environ)
     try:
+        # children must run on the CPU backend (the TPU plugin overrides
+        # JAX_PLATFORMS, so NPT_PLATFORM pins it through jax.config)
+        os.environ["NPT_PLATFORM"] = "cpu"
         if extra_env:
             os.environ.update(extra_env)
         rc = launch.main(argv)
