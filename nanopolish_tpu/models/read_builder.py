@@ -26,15 +26,22 @@ from ..ops.scaling import estimate_scalings_mom, mstate_events_batch, recalibrat
 
 
 def _banded_align(ev_mean, n_events, mu, sigma, log_sigma, n_kmers):
-    """Pick the banded-align backend: the Pallas kernels on TPU, the exact
-    lax.scan implementation elsewhere (or when NPT_BANDED_IMPL=scan)."""
+    """Pick the banded-align backend (NPT_BANDED_IMPL):
+
+      exact (default on TPU) — the reference-exact band-100 Pallas kernel
+        (ops/pallas_banded_exact), byte-identical banding to the scan port;
+      epoch — the faster epoch-window Pallas kernel (ops/pallas_banded),
+        which may diverge from reference banding on noisy reads;
+      scan — the XLA lax.scan implementation (default off-TPU).
+    """
     import os
 
     import jax
 
     impl = os.environ.get("NPT_BANDED_IMPL", "auto")
-    if impl != "scan" and (impl == "pallas"
-                           or jax.default_backend() in ("tpu", "axon")):
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if impl in ("pallas", "epoch") or (impl == "auto" and on_tpu and
+                                       os.environ.get("NPT_BANDED_FAST")):
         from ..ops.pallas_banded import (banded_align_pallas_packed,
                                          pack_banded_inputs)
         # single-transfer wire format: one h2d per batch instead of eight
@@ -43,6 +50,10 @@ def _banded_align(ev_mean, n_events, mu, sigma, log_sigma, n_kmers):
             ev_mean, n_events, mu, sigma, log_sigma, n_kmers)
         return banded_align_pallas_packed(packed, Tp, Kp, K0,
                                           B=ev_mean.shape[0])
+    if impl == "exact" or (impl == "auto" and on_tpu):
+        from ..ops.pallas_banded_exact import banded_align_exact
+        return banded_align_exact(ev_mean, n_events, mu, sigma, log_sigma,
+                                  n_kmers)
     return banded_align_batch(ev_mean, n_events, mu, sigma, log_sigma,
                               n_kmers)
 from .pore_model import PoreModel, PoreModelSet

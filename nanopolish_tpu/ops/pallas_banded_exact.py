@@ -35,12 +35,15 @@ masks of the scan implementation disappear from the inner loop.
 
 Traceback moves are packed 2 bits x 16 bands into int32 rows (lane 127,
 unused by the 100-wide band, carries the band's down/right decision so
-the backtrack can replay band positions without a stored ll_e array),
-and the per-band emission row is streamed to HBM so the backtrack kernel
-can accumulate the QC emission sum without re-materializing the windows.
+the backtrack can replay band positions without a stored ll_e array).
 The backtrack kernel replays the walk band-by-band (one visited cell per
-band), emitting (kmer, event) pairs as rows that an XLA scatter folds
-into the base->event map exactly like ops/banded_align.py does.
+band); since the visited (event, kmer) coordinates each decrease by 0/1
+per band, the QC emission at the visited cell is recomputed from two
+rolling scalar *streams* (current event at lane 0 of an event stream,
+current kmer gaussian at lane 255 of three kmer streams), refilled per
+chunk like the fill windows — no stored emission rows, no gathers.  The
+(kmer, event) pairs land as rows that an XLA scatter folds into the
+base->event map exactly like ops/banded_align.py does.
 """
 
 from __future__ import annotations
@@ -93,9 +96,11 @@ def _pad_to(n, q):
 def prepare_exact_inputs(event_mean, n_events, mu, sigma, log_sigma, n_kmers):
     """Build the padded device arrays for the exact banded kernels.
 
-    Returns dict of np arrays: evr [B, Tp+512] (reversed, padded events),
-    tmu/tsig/tc [B, Kp+512] (lead-128 padded tables), nev/nk [B,1] i32,
-    plus the static dims (Tp, Kp).
+    Returns dict of np arrays: evr [B, Tp+768] (reversed, padded events),
+    tmu/tsig/tc [B, Kp+768] (lead-256 padded tables), nev/nk [B,1] i32,
+    plus the static dims (Tp, Kp).  The generous pads let both the fill
+    windows and the backtrack streams use 128-aligned 384-lane loads at
+    any position either kernel can reach.
     """
     event_mean = np.asarray(event_mean, np.float32)
     n_events = np.asarray(n_events, np.int32).reshape(-1)
@@ -110,16 +115,16 @@ def prepare_exact_inputs(event_mean, n_events, mu, sigma, log_sigma, n_kmers):
 
     # evr[b, j] = event[b, EOFF - j], EV_PAD outside [0, n_events)
     EOFF = Tp + 255
-    Lev = Tp + 512
+    Lev = Tp + 768
     ivals = EOFF - np.arange(Lev)                       # event index per column
     valid = (ivals >= 0) & (ivals[None, :] < n_events[:, None])
     gath = np.take(np.pad(event_mean, ((0, 0), (0, Tp - T0 + 1))),
                    np.clip(ivals, 0, Tp), axis=1)
     evr = np.where(valid, gath, EV_PAD).astype(np.float32)
 
-    # forward tables with a 128-lane lead pad: tab[b, 128 + k]
-    Lk = Kp + 512
-    kvals = np.arange(Lk) - 128
+    # forward tables with a 256-lane lead pad: tab[b, 256 + k]
+    Lk = Kp + 768
+    kvals = np.arange(Lk) - 256
     kmask = (kvals >= 0) & (kvals[None, :] < n_kmers[:, None])
     kc = np.clip(kvals, 0, K0 - 1)
     tmu = np.where(kmask, np.take(mu, kc, axis=1), 0.0).astype(np.float32)
@@ -170,13 +175,13 @@ def _refill_windows(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
     # windows are positioned for the band *before* bi0, whose lower-left
     # kmer is ll_k = (bi0 - 1) - 2 - ll_e.
     j0e = (Tp + 127) - jnp.minimum(ll_e[:], nev_ref[:] + 127)
-    j0k = 128 + jnp.minimum((bi0 - 3) - ll_e[:], nk_ref[:])
+    j0k = 256 + jnp.minimum((bi0 - 3) - ll_e[:], nk_ref[:])
 
     def scalar_j0e(b):
         return (Tp + 127) - jnp.minimum(ll_e[b, 0], nev_ref[b, 0] + 127)
 
     def scalar_j0k(b):
-        return 128 + jnp.minimum((bi0 - 3) - ll_e[b, 0], nk_ref[b, 0])
+        return 256 + jnp.minimum((bi0 - 3) - ll_e[b, 0], nk_ref[b, 0])
 
     for j0, scalar_j0, srcs in (
             (j0e, scalar_j0e, ((evr_ref, ew),)),
@@ -193,7 +198,7 @@ def _refill_windows(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
 
 def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
                  lps_ref, lpt_ref,
-                 trace_ref, em_ref, lle_ref, bests_ref, beste_ref,
+                 trace_ref, lle_ref, bests_ref, beste_ref,
                  s_prev, s_prev2, ew, kmu, ksig, kc,
                  ll_e, r_prev, best_s, best_e, acc, stage, Tp):
     i = pl.program_id(0)
@@ -297,8 +302,7 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
         best_s[:] = jnp.where(better, endsc, best_s[:])
         best_e[:] = jnp.where(better, ei_end, best_e[:])
 
-        # --- outputs: emission row + packed trace (decision bit at 127) ---
-        em_ref[c, :, :] = em
+        # --- output: packed trace (band decision bit at lane 127) ---
         tr = jnp.where(lanes == LANES - 1, r_i, tr)
         m = jax.lax.rem(c, PACK)
 
@@ -330,10 +334,12 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
 # Backtrack kernel
 # ---------------------------------------------------------------------------
 
-def _backtrack_kernel(trace_ref, em_ref, nk_ref, lle_ref, beste_ref, bok_ref,
+def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
+                      nk_ref, lle_ref, beste_ref, bok_ref,
                       rows_k_ref, rows_e_ref, sumem_ref, stats_ref,
                       cur_e, cur_k, ll_e, active, sum_em,
-                      n_pairs, cur_gap, max_gap, last_ki, min_ev, max_ev):
+                      n_pairs, cur_gap, max_gap, last_ki, min_ev, max_ev,
+                      es, kmu, ksig, kc, stage, Tp):
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     B = cur_e.shape[0]
@@ -353,6 +359,25 @@ def _backtrack_kernel(trace_ref, em_ref, nk_ref, lle_ref, beste_ref, bok_ref,
         min_ev[:] = jnp.full((B, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
         max_ev[:] = jnp.full((B, 1), -1, jnp.int32)
 
+    # --- stream refills: es[j] = event[cur_e - j] (current at lane 0,
+    # rolled left on event decrements); k*[j] = table[cur_k - 255 + j]
+    # (current at lane 255, rolled right on kmer decrements).  Both stay
+    # valid for 128 decrements between refills (circular garbage enters
+    # at the far lane). ---
+    j0e = (Tp + 255) - cur_e[:]
+    j0k = cur_k[:] + 1                      # = 256 + (cur_k - 255)
+    for j0, scalar_j0, srcs in (
+            (j0e, lambda b: (Tp + 255) - cur_e[b, 0], ((evr_ref, es),)),
+            (j0k, lambda b: cur_k[b, 0] + 1,
+             ((tmu_ref, kmu), (tsig_ref, ksig), (tc_ref, kc)))):
+        r_vec = j0 & 127
+        for src_ref, w in srcs:
+            for b in range(B):
+                jb = scalar_j0(b)
+                ab = pl.multiple_of(jb - (jb & 127), 128)
+                stage[b, :] = src_ref[b, pl.ds(ab, 384)]
+            w[:] = _align_left(stage[:], r_vec)[:, :WIN]
+
     bi0 = 2 + (n_steps - 1 - i) * CHUNK
 
     def band(cc, _):
@@ -368,9 +393,12 @@ def _backtrack_kernel(trace_ref, em_ref, nk_ref, lle_ref, beste_ref, bok_ref,
         off = ll_e[:] - cur_e[:]
         code = jnp.max(jnp.where(lanes == off, code_all, 0),
                        axis=1, keepdims=True)
-        em_row = em_ref[c, :, :]
-        em = jnp.max(jnp.where(lanes == off, em_row, NEG_INF),
-                     axis=1, keepdims=True)
+
+        # emission at the visited cell, reference f32 op order
+        # (same elementwise ops as the scan oracle)
+        ev0 = es[:, 0:1]
+        a = (ev0 - kmu[:, WIN - 1:WIN]) / ksig[:, WIN - 1:WIN]
+        em = kc[:, WIN - 1:WIN] + (-0.5 * a) * a
 
         is_d = act & (code == FROM_D)
         is_u = act & (code == FROM_U)
@@ -397,6 +425,13 @@ def _backtrack_kernel(trace_ref, em_ref, nk_ref, lle_ref, beste_ref, bok_ref,
         rows_k_ref[c, :] = jnp.where(map_valid, cur_k[:], -1)[:, 0]
         rows_e_ref[c, :] = jnp.where(map_valid, cur_e[:], -1)[:, 0]
 
+        # stream advances follow the walk
+        es[:] = jnp.where(dec_e > 0, _roll_l(es[:]), es[:])
+        kroll = dec_k > 0
+        kmu[:] = jnp.where(kroll, pltpu.roll(kmu[:], 1, 1), kmu[:])
+        ksig[:] = jnp.where(kroll, pltpu.roll(ksig[:], 1, 1), ksig[:])
+        kc[:] = jnp.where(kroll, pltpu.roll(kc[:], 1, 1), kc[:])
+
         cur_k[:] = k_next
         cur_e[:] = e_next
         active[:] = jnp.where(act & terminates, 0, active[:])
@@ -420,11 +455,10 @@ def _backtrack_kernel(trace_ref, em_ref, nk_ref, lle_ref, beste_ref, bok_ref,
 @functools.partial(jax.jit, static_argnames=("Tp", "interpret"))
 def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False):
     B = evr.shape[0]
-    Kp = tmu.shape[1] - 512
+    Kp = tmu.shape[1] - 768
     n_steps = (Tp + Kp) // CHUNK
     out_shape = (
         jax.ShapeDtypeStruct((n_steps * CHUNK // PACK, B, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_steps * CHUNK, B, LANES), jnp.float32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),       # ll_e final
         jax.ShapeDtypeStruct((B, 1), jnp.float32),     # best_s
         jax.ShapeDtypeStruct((B, 1), jnp.int32),       # best_e
@@ -437,8 +471,6 @@ def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False):
         in_specs=[full] * 4 + [fixed] * 4,
         out_specs=(
             pl.BlockSpec((CHUNK // PACK, B, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             fixed, fixed, fixed,
         ),
@@ -461,8 +493,9 @@ def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False):
     )(evr, tmu, tsig, tc, nev, nk, lps, lpt)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _backtrack_call(trace, em_rows, nk, lle, best_e, best_ok, interpret=False):
+@functools.partial(jax.jit, static_argnames=("Tp", "interpret"))
+def _backtrack_call(trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok,
+                    Tp, interpret=False):
     n_rows, B, _ = trace.shape
     n_steps = n_rows * PACK // CHUNK
     out_shape = (
@@ -471,16 +504,17 @@ def _backtrack_call(trace, em_rows, nk, lle, best_e, best_ok, interpret=False):
         jax.ShapeDtypeStruct((B, 1), jnp.float32),               # sum_em
         jax.ShapeDtypeStruct((B, 8), jnp.int32),                 # stats
     )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
     fixed = pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     rev3t = lambda i: (n_steps - 1 - i, 0, 0)
     rev2 = lambda i: (n_steps - 1 - i, 0)
     return pl.pallas_call(
-        _backtrack_kernel,
+        functools.partial(_backtrack_kernel, Tp=Tp),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((CHUNK // PACK, B, LANES), rev3t,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, LANES), rev3t, memory_space=pltpu.VMEM),
+            full, full, full, full,
             fixed, fixed, fixed, fixed,
         ],
         out_specs=(
@@ -492,9 +526,11 @@ def _backtrack_call(trace, em_rows, nk, lle, best_e, best_ok, interpret=False):
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, 1), jnp.int32) for _ in range(4)] +
         [pltpu.VMEM((B, 1), jnp.float32)] +
-        [pltpu.VMEM((B, 1), jnp.int32) for _ in range(6)],
+        [pltpu.VMEM((B, 1), jnp.int32) for _ in range(6)] +
+        [pltpu.VMEM((B, WIN), jnp.float32) for _ in range(4)] +
+        [pltpu.VMEM((B, 384), jnp.float32)],
         interpret=interpret,
-    )(trace, em_rows, nk, lle, best_e, best_ok)
+    )(trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok)
 
 
 @functools.partial(jax.jit, static_argnames=("K0",))
@@ -516,11 +552,12 @@ def _b2e_from_pairs(rows_k, rows_e, failed, K0):
 @functools.partial(jax.jit, static_argnames=("Tp", "K0", "interpret"))
 def _exact_align_device(evr, tmu, tsig, tc, nev, nk, lps, lpt,
                         Tp, K0, interpret=False):
-    trace, em_rows, lle, best_s, best_e = _fill_call(
+    trace, lle, best_s, best_e = _fill_call(
         evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=interpret)
     best_ok = (best_s > OB).astype(jnp.int32)
     rows_k, rows_e, sum_em, stats = _backtrack_call(
-        trace, em_rows, nk, lle, best_e, best_ok, interpret=interpret)
+        trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok, Tp,
+        interpret=interpret)
     n_pairs = stats[:, 0]
     max_gap = stats[:, 1]
     last_ki = stats[:, 2]
@@ -570,9 +607,15 @@ def banded_align_exact(event_mean, n_events, mu, sigma, log_sigma, n_kmers,
     lp_stay = np.asarray(lp_stay, np.float32).reshape(B, 1)
     lp_step = np.asarray(lp_step, np.float32).reshape(B, 1)
 
+    # per-chunk batch: inputs are VMEM-resident; cap so evr+tables fit
+    T0 = event_mean.shape[1]
+    K0w = mu.shape[1]
+    bytes_per_read = 4 * ((_pad_to(T0, CHUNK) + 768)
+                          + 3 * (_pad_to(K0w, CHUNK) + 768))
+    bmax = max(8, min(64, int(11e6 // max(bytes_per_read, 1)) // 8 * 8))
     outs = []
-    for lo in range(0, B, 32):
-        hi = min(lo + 32, B)
+    for lo in range(0, B, bmax):
+        hi = min(lo + bmax, B)
         Bc = _pad_batch(hi - lo)
         sl = slice(lo, hi)
         pad = Bc - (hi - lo)
