@@ -3,8 +3,9 @@
 
 Measures the per-read load-time DP (adaptive banded event alignment, the
 reference's HOT LOOP #1, src/nanopolish_raw_loader.cpp:77-379) as the
-Pallas kernel pipeline batched on one TPU chip, against a 16-thread CPU
-baseline.
+production Pallas pipeline batched on one TPU chip — the reference-exact
+band-100 kernel (fill + backtrack + QC + base->event map; byte-matches
+the reference banding) — against a 16-thread CPU baseline.
 
 The upstream reference binary cannot be built in this image (empty vendored
 submodules, no network), so the CPU baseline is an independent C++
@@ -28,11 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # benchmark shape: 8 kb reads at ~2 events/base (r9.4 DNA typical)
 N_BASES = 8192
 EVENTS_PER_BASE = 2.0
-# B=128 is the largest batch fitting the fill kernel's scoped VMEM on
-# v5e (scratch scales with B; 256 exceeds the 16 MB limit).  Bigger
-# batches amortize the per-dispatch round trip of remote attachment.
-BATCH = 128
-N_BATCHES = 4
+# B=64 is the largest batch whose inputs fit VMEM-resident for the
+# reference-exact band-100 kernel (the production default banded path).
+# Batch size amortizes the per-dispatch round trip of remote attachment.
+BATCH = 64
 CPU_THREADS_BASELINE = 16
 CPU_SAMPLE_READS = 3
 
@@ -62,36 +62,43 @@ def bench_tpu(on_rate=None):
     import jax
     import jax.numpy as jnp
 
-    from nanopolish_tpu.ops.pallas_banded import (banded_align_pallas_packed,
-                                                  pack_banded_inputs)
+    from nanopolish_tpu.ops.pallas_banded_exact import (
+        _exact_align_device, prepare_exact_inputs, transition_params_f32)
 
-    packed, Tp, Kp, K0 = pack_banded_inputs(*make_reads(BATCH))
+    ev, n_events, mu, sigma, log_sigma, n_kmers = make_reads(BATCH)
+    prep = prepare_exact_inputs(ev, n_events, mu, sigma, log_sigma, n_kmers)
+    lps, lpt = transition_params_f32(n_events, n_kmers)
+    Tp, K0 = prep["Tp"], prep["K0"]
     # Stage the batch in HBM first: the CPU baseline scores reads already
     # resident in RAM, so the chip scores reads already resident in HBM.
     # (This rig's shared host<->chip relay runs at ~16 MB/s in its slow
     # mode — an attachment artifact, not part of the chip; PERF.md reports
     # the end-to-end-through-the-relay rates separately.)
-    packed_dev = jax.device_put(packed)
-    jax.block_until_ready(packed_dev)
+    args = [jax.device_put(x) for x in
+            (prep["evr"], prep["tmu"], prep["tsig"], prep["tc"],
+             prep["nev"], prep["nk"], lps, lpt)]
+    jax.block_until_ready(args)
 
     # ITERS batches per dispatch: the per-dispatch host->chip round trip
     # (25-80 ms through this rig's relay, a few us on a local host) is
     # amortized over ITERS kernel pipelines so the captured rate reflects
     # the chip.  Each iteration is chained to the previous one through a
-    # sub-f32-ulp perturbation of the packed input (min(avg_em, 0)*1e-30
-    # added to one event mean rounds to the identical f32 value but is a
+    # sub-f32-ulp perturbation of the event input (min(avg_em, 0)*1e-30
+    # added to a pad lane rounds to the identical f32 value but is a
     # real data dependency), so XLA cannot CSE or reorder the iterations.
     ITERS = int(os.environ.get("NPT_BENCH_ITERS", "12"))
 
     @functools.partial(jax.jit, static_argnames=())
-    def chained(p):
+    def chained(evr, *rest):
         def body(_, carry):
-            p_cur, _ = carry
-            res = banded_align_pallas_packed(p_cur, Tp, Kp, K0)
+            e_cur, _ = carry
+            res = _exact_align_device(e_cur, *rest, Tp=Tp, K0=K0,
+                                      interpret=False)
             dep = jnp.minimum(jnp.sum(res.avg_log_emission), 0.0) * 1e-30
-            p_next = p_cur.at[:, 0].add(dep)
-            return p_next, res.failed
-        _, failed = jax.lax.fori_loop(0, ITERS, body, (p, jnp.zeros((p.shape[0],), bool)))
+            e_next = e_cur.at[:, 0].add(dep)
+            return e_next, res.failed
+        _, failed = jax.lax.fori_loop(
+            0, ITERS, body, (evr, jnp.zeros((evr.shape[0],), bool)))
         return failed
 
     # warmup / compile (remote compiles take minutes when the shared
@@ -100,19 +107,20 @@ def bench_tpu(on_rate=None):
     # arrays has been observed to return before compute completes, so
     # fetching the (tiny) result bytes is the only reliable fence.
     print("bench: compiling banded kernels...", file=sys.stderr, flush=True)
-    failed = jax.device_get(chained(packed_dev))
+    failed = jax.device_get(chained(*args))
     n_ok = int(np.asarray(failed == 0).sum())
     # The host<->chip relay in this rig has strongly bimodal latency that
     # flaps on a minutes timescale (shared pool); run short trials across
     # a time budget and report the best sustained rate, stopping early
     # once a fast window is caught.
     budget_s = float(os.environ.get("NPT_BENCH_BUDGET_S", "420"))
-    good_rate = 6500.0          # chip-limited territory; tunnel is not in the way
+    # chip-limited territory for the exact pipeline; tunnel not in the way
+    good_rate = float(os.environ.get("NPT_BENCH_GOOD_RATE", "2200"))
     rates = []
     t_start = time.perf_counter()
     while not rates or time.perf_counter() - t_start < budget_s:
         t0 = time.perf_counter()
-        jax.device_get(chained(packed_dev))
+        jax.device_get(chained(*args))
         rate = ITERS * BATCH / (time.perf_counter() - t0)
         if on_rate is not None and (not rates or rate > max(rates)):
             on_rate(rate)

@@ -68,6 +68,13 @@ WIN = 256            # rolling window width (band + one chunk of lookahead)
 CHUNK = 128          # bands per grid step == max window consumption per step
 PACK = 16            # trace cells packed per int32 (2 bits each)
 
+# Trace-time ablation switches for kernel cost attribution (perf work
+# only — ablated kernels return wrong results).  Comma-separated subset
+# of {rows,extract,streams,stats} in NPT_ABLATE.
+import os as _os
+_ABLATE = frozenset(
+    s for s in _os.environ.get("NPT_ABLATE", "").split(",") if s)
+
 NEG_INF = float("-inf")
 OB = -1.0e30         # scores below this are the reference's -inf ("out of band")
 EV_PAD = 1.0e17      # event pad: emission becomes ~-1e34 (< OB) at any kmer
@@ -200,7 +207,7 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
                  lps_ref, lpt_ref,
                  trace_ref, lle_ref, bests_ref, beste_ref,
                  s_prev, s_prev2, ew, kmu, ksig, kc,
-                 ll_e, r_prev, best_s, best_e, acc, stage, Tp):
+                 ll_e, r_prev, best_s, best_e, stage, Tp):
     i = pl.program_id(0)
     B = s_prev.shape[0]
     lanes = _iota_b(B, LANES)
@@ -227,20 +234,32 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
     _refill_windows(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
                     ll_e, bi0, ew, kmu, ksig, kc, stage, Tp)
 
-    def band(c, _):
-        bi = bi0 + c
-        sp = s_prev[:]
-        sp2 = s_prev2[:]
+    # Chunk-level gating: ll_k = (bi - 2) - ll_e is non-decreasing (each
+    # band adds 1 to bi and 0/1 to ll_e), so whether any read can touch
+    # the ki == -1 trim column or the ki == nk-1 end column during this
+    # chunk is decidable from the value entering the chunk.  ~97% of the
+    # chunks of a full-length read need neither block.
+    prev_llk = (bi0 - 3) - ll_e[:]                     # ll_k of last band done
+    need_trim = jnp.min(prev_llk) < 0
+    need_end = jnp.any((prev_llk + CHUNK >= nk - BANDWIDTH) &
+                       (prev_llk <= nk - 1))
+
+    def band(bi, parity, with_trim_end, buf_cur, buf_prev):
+        """One band; bi is traced, parity is a Python constant; buf_cur /
+        buf_prev are the ping-pong score buffers picked statically by the
+        caller's unroll parity (the new band overwrites buf_prev, which
+        becomes the next band's buf_cur — no per-band copy).  Returns the
+        [B, LANES] trace vector (band decision at lane 127)."""
+        sp = buf_cur[:]
+        sp2 = buf_prev[:]
 
         # --- adaptive placement (raw_loader.cpp:175-195) ---
         ll = sp[:, 0:1]
         ur = sp[:, BANDWIDTH - 1:BANDWIDTH]
         both_ob = (ll < OB) & (ur < OB)
-        parity_i = jax.lax.rem(bi, 2)                  # traced scalar int
-        r_i = jnp.where(both_ob, parity_i, (ll < ur).astype(jnp.int32))
+        r_i = jnp.where(both_ob, parity, (ll < ur).astype(jnp.int32))
         right = r_i > 0                                # [B,1] bool
         ll_e_new = ll_e[:] + (1 - r_i)
-        ll_k_new = (bi - 2) - ll_e_new
 
         # --- window maintenance ---
         ew_v = ew[:]
@@ -277,53 +296,70 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
                        jnp.where(su >= sd, FROM_U, FROM_D))   # ties: L > U > D
         cell = m3
 
-        # --- trim column ki == -1 (raw_loader.cpp:215-225) ---
-        o_trim = -1 - ll_k_new
-        ei_trim = ll_e_new - o_trim
-        off_ok = (o_trim >= 0) & (o_trim < BANDWIDTH)
-        ei_ok = (ei_trim >= 0) & (ei_trim < nev)
-        trim_val = LP_TRIM * (ei_trim.astype(jnp.float32) + 1.0)
-        m_tr = (lanes == o_trim) & off_ok
-        cell = jnp.where(m_tr, jnp.where(ei_ok, trim_val, NEG_INF), cell)
-        tr = jnp.where(m_tr & ei_ok, FROM_U, tr)
+        if with_trim_end:
+            ll_k_new = (bi - 2) - ll_e_new
+
+            # --- trim column ki == -1 (raw_loader.cpp:215-225) ---
+            o_trim = -1 - ll_k_new
+            ei_trim = ll_e_new - o_trim
+            off_ok = (o_trim >= 0) & (o_trim < BANDWIDTH)
+            ei_ok = (ei_trim >= 0) & (ei_trim < nev)
+            trim_val = LP_TRIM * (ei_trim.astype(jnp.float32) + 1.0)
+            m_tr = (lanes == o_trim) & off_ok
+            cell = jnp.where(m_tr, jnp.where(ei_ok, trim_val, NEG_INF), cell)
+            tr = jnp.where(m_tr & ei_ok, FROM_U, tr)
 
         cell = jnp.where(lane_hi, NEG_INF, cell)
 
-        # --- trailing-trim end tracking (raw_loader.cpp:313-324):
-        # each band holds at most one (event, last-kmer) cell ---
-        o_end = (nk - 1) - ll_k_new
-        ei_end = ll_e_new - o_end
-        v_end = jnp.max(jnp.where(lanes == o_end, cell, NEG_INF),
-                        axis=1, keepdims=True)
-        end_ok = (o_end >= 0) & (o_end < BANDWIDTH) & \
-            (ei_end >= 0) & (ei_end < nev)
-        endsc = v_end + (nev - ei_end).astype(jnp.float32) * LP_TRIM
-        better = end_ok & (endsc > best_s[:])
-        best_s[:] = jnp.where(better, endsc, best_s[:])
-        best_e[:] = jnp.where(better, ei_end, best_e[:])
+        if with_trim_end:
+            # --- trailing-trim end tracking (raw_loader.cpp:313-324):
+            # each band holds at most one (event, last-kmer) cell ---
+            o_end = (nk - 1) - ll_k_new
+            ei_end = ll_e_new - o_end
+            v_end = jnp.max(jnp.where(lanes == o_end, cell, NEG_INF),
+                            axis=1, keepdims=True)
+            end_ok = (o_end >= 0) & (o_end < BANDWIDTH) & \
+                (ei_end >= 0) & (ei_end < nev)
+            endsc = v_end + (nev - ei_end).astype(jnp.float32) * LP_TRIM
+            better = end_ok & (endsc > best_s[:])
+            best_s[:] = jnp.where(better, endsc, best_s[:])
+            best_e[:] = jnp.where(better, ei_end, best_e[:])
 
-        # --- output: packed trace (band decision bit at lane 127) ---
+        # band decision bit rides lane 127 (unused by the 100-wide band)
         tr = jnp.where(lanes == LANES - 1, r_i, tr)
-        m = jax.lax.rem(c, PACK)
 
-        @pl.when(m == 0)
-        def _():
-            acc[:] = jnp.zeros_like(acc[:])
-
-        packed = acc[:] | jnp.left_shift(tr, 2 * m)
-        acc[:] = packed
-
-        @pl.when(m == PACK - 1)
-        def _():
-            trace_ref[c // PACK, :, :] = packed
-
-        s_prev2[:] = sp
-        s_prev[:] = cell
+        buf_prev[:] = cell
         ll_e[:] = ll_e_new
         r_prev[:] = r_i
+        return tr
+
+    def group(g, _, with_trim_end):
+        """PACK bands, statically unrolled: parity and the 2-bit shift
+        are Python constants, the packed trace accumulates in registers
+        with one store per group, and the two score buffers ping-pong on
+        the static unroll parity (PACK and CHUNK are even, so buffer
+        roles are identical at every group and chunk boundary)."""
+        c0 = g * PACK
+        acc = jnp.zeros((B, LANES), jnp.int32)
+        for m in range(PACK):
+            # bi0, g*PACK and PACK are all even, so rem(bi, 2) == m & 1
+            cur, prev = (s_prev, s_prev2) if m % 2 == 0 else (s_prev2, s_prev)
+            tr = band(bi0 + c0 + m, m & 1, with_trim_end, cur, prev)
+            acc = acc | jnp.left_shift(tr, 2 * m)
+        trace_ref[g, :, :] = acc
         return 0
 
-    jax.lax.fori_loop(0, CHUNK, band, 0, unroll=False)
+    full = need_trim | need_end
+
+    @pl.when(full)
+    def _():
+        jax.lax.fori_loop(0, CHUNK // PACK,
+                          functools.partial(group, with_trim_end=True), 0)
+
+    @pl.when(jnp.logical_not(full))
+    def _():
+        jax.lax.fori_loop(0, CHUNK // PACK,
+                          functools.partial(group, with_trim_end=False), 0)
 
     lle_ref[:] = ll_e[:]
     bests_ref[:] = best_s[:]
@@ -338,7 +374,7 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
                       nk_ref, lle_ref, beste_ref, bok_ref,
                       rows_k_ref, rows_e_ref, sumem_ref, stats_ref,
                       cur_e, cur_k, ll_e, active, sum_em,
-                      n_pairs, cur_gap, max_gap, last_ki, min_ev, max_ev,
+                      n_pairs, cur_gap, max_gap, last_ki, min_ev,
                       es, kmu, ksig, kc, stage, Tp):
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
@@ -356,8 +392,10 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
         cur_gap[:] = jnp.zeros((B, 1), jnp.int32)
         max_gap[:] = jnp.zeros((B, 1), jnp.int32)
         last_ki[:] = jnp.full((B, 1), -1, jnp.int32)
+        # min_ev / last_ki are captured at walk termination (the walk's
+        # event coordinate is non-increasing, so min == value at the last
+        # active band); max_ev == best_e and is derived in the wrapper.
         min_ev[:] = jnp.full((B, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
-        max_ev[:] = jnp.full((B, 1), -1, jnp.int32)
 
     # --- stream refills: es[j] = event[cur_e - j] (current at lane 0,
     # rolled left on event decrements); k*[j] = table[cur_k - 255 + j]
@@ -380,72 +418,93 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
 
     bi0 = 2 + (n_steps - 1 - i) * CHUNK
 
-    def band(cc, _):
-        c = CHUNK - 1 - cc
-        bi = bi0 + c
+    def group(gg, _):
+        g = (CHUNK // PACK - 1) - gg
+        packed = trace_ref[g, :, :]                     # one load per group
+        rbits = packed[:, LANES - 1:LANES]              # 16 decision bits
+        # Align the packed row to the walk: the visited offset's 2-bit
+        # codes live at lane 0 for the whole group.  The offset moves by
+        # {-1,0,+1} per band, so alignment is maintained with one
+        # conditional roll; circular wraparound matches the mod-128
+        # arithmetic of `off & 127`, so pre-activation garbage offsets
+        # stay consistent and harmless (act is false there).
+        off0 = (ll_e[:] - cur_e[:]) & 127
+        pk0 = _align_left(packed, off0)
 
-        packed = trace_ref[c // PACK, :, :]
-        sh = 2 * jax.lax.rem(c, PACK)
-        code_all = jnp.right_shift(packed, sh) & 3
-        right = code_all[:, LANES - 1:LANES]            # band decision bit
+        def band(mm, pk):
+            m = (PACK - 1) - mm
+            c = g * PACK + m
+            bi = bi0 + c
+            right = jnp.right_shift(rbits, 2 * m) & 3   # band decision bit
+            code = jnp.right_shift(pk[:, 0:1], 2 * m) & 3
 
-        act = (active[:] > 0) & ((cur_e[:] + cur_k[:] + 2) == bi)
-        off = ll_e[:] - cur_e[:]
-        code = jnp.max(jnp.where(lanes == off, code_all, 0),
-                       axis=1, keepdims=True)
+            act = (active[:] > 0) & ((cur_e[:] + cur_k[:] + 2) == bi)
 
-        # emission at the visited cell, reference f32 op order
-        # (same elementwise ops as the scan oracle)
-        ev0 = es[:, 0:1]
-        a = (ev0 - kmu[:, WIN - 1:WIN]) / ksig[:, WIN - 1:WIN]
-        em = kc[:, WIN - 1:WIN] + (-0.5 * a) * a
+            # emission at the visited cell, reference f32 op order
+            # (same elementwise ops as the scan oracle)
+            ev0 = es[:, 0:1]
+            a = (ev0 - kmu[:, WIN - 1:WIN]) / ksig[:, WIN - 1:WIN]
+            em = kc[:, WIN - 1:WIN] + (-0.5 * a) * a
 
-        is_d = act & (code == FROM_D)
-        is_u = act & (code == FROM_U)
-        is_l = act & (code == FROM_L)
+            is_l = code == FROM_L
+            dec_k = (act & (code != FROM_U)).astype(jnp.int32)   # D or L
+            dec_e = (act & (~is_l)).astype(jnp.int32)            # D or U
 
-        sum_em[:] = jnp.where(act, sum_em[:] + em, sum_em[:])
-        n_pairs[:] = n_pairs[:] + act.astype(jnp.int32)
-        cur_gap[:] = jnp.where(act,
-                               jnp.where(is_l, cur_gap[:] + 1, 0), cur_gap[:])
-        max_gap[:] = jnp.maximum(max_gap[:], cur_gap[:])
-        last_ki[:] = jnp.where(act, cur_k[:], last_ki[:])
-        min_ev[:] = jnp.where(act, jnp.minimum(min_ev[:], cur_e[:]), min_ev[:])
-        max_ev[:] = jnp.where(act, jnp.maximum(max_ev[:], cur_e[:]), max_ev[:])
+            if "stats" not in _ABLATE:
+                sum_em[:] = jnp.where(act, sum_em[:] + em, sum_em[:])
+                n_pairs[:] = n_pairs[:] + act.astype(jnp.int32)
+                cur_gap[:] = jnp.where(act,
+                                       jnp.where(is_l, cur_gap[:] + 1, 0),
+                                       cur_gap[:])
+                max_gap[:] = jnp.maximum(max_gap[:], cur_gap[:])
 
-        dec_k = (is_d | is_l).astype(jnp.int32)
-        dec_e = (is_d | is_u).astype(jnp.int32)
-        k_next = cur_k[:] - dec_k
-        e_next = cur_e[:] - dec_e
-        terminates = (k_next < 0) | (e_next < 0)
-        # a pair enters the base->event map iff its event differs from the
-        # previous (forward-order) pair's event (squiggle_read.cpp:284-299)
-        map_valid = act & ((~is_l) | terminates)
+            k_next = cur_k[:] - dec_k
+            e_next = cur_e[:] - dec_e
+            terminates = (k_next < 0) | (e_next < 0)
+            cap = act & terminates
+            # walk coordinates are non-increasing: the stats the scan port
+            # tracks with per-band min/max resolve to the termination cell
+            last_ki[:] = jnp.where(cap, cur_k[:], last_ki[:])
+            min_ev[:] = jnp.where(cap, cur_e[:], min_ev[:])
+            # a pair enters the base->event map iff its event differs from
+            # the previous (forward-order) pair's event
+            # (squiggle_read.cpp:284-299)
+            map_valid = act & ((~is_l) | terminates)
 
-        rows_k_ref[c, :] = jnp.where(map_valid, cur_k[:], -1)[:, 0]
-        rows_e_ref[c, :] = jnp.where(map_valid, cur_e[:], -1)[:, 0]
+            if "rows" not in _ABLATE:
+                rows_k_ref[c, :] = jnp.where(map_valid, cur_k[:], -1)[:, 0]
+                rows_e_ref[c, :] = jnp.where(map_valid, cur_e[:], -1)[:, 0]
 
-        # stream advances follow the walk
-        es[:] = jnp.where(dec_e > 0, _roll_l(es[:]), es[:])
-        kroll = dec_k > 0
-        kmu[:] = jnp.where(kroll, pltpu.roll(kmu[:], 1, 1), kmu[:])
-        ksig[:] = jnp.where(kroll, pltpu.roll(ksig[:], 1, 1), ksig[:])
-        kc[:] = jnp.where(kroll, pltpu.roll(kc[:], 1, 1), kc[:])
+            if "streams" not in _ABLATE:
+                # stream advances follow the walk
+                es[:] = jnp.where(dec_e > 0, _roll_l(es[:]), es[:])
+                kroll = dec_k > 0
+                kmu[:] = jnp.where(kroll, pltpu.roll(kmu[:], 1, 1), kmu[:])
+                ksig[:] = jnp.where(kroll, pltpu.roll(ksig[:], 1, 1), ksig[:])
+                kc[:] = jnp.where(kroll, pltpu.roll(kc[:], 1, 1), kc[:])
 
-        cur_k[:] = k_next
-        cur_e[:] = e_next
-        active[:] = jnp.where(act & terminates, 0, active[:])
-        ll_e[:] = ll_e[:] - (1 - right)
+            cur_k[:] = k_next
+            cur_e[:] = e_next
+            active[:] = jnp.where(cap, 0, active[:])
+            ll_e[:] = ll_e[:] - (1 - right)
+
+            # maintain the walk alignment of the packed row: the visited
+            # offset moves by dec_e - (1 - right) in {-1, 0, +1} per band
+            delta = dec_e - (1 - right)
+            pk = jnp.where(delta == 1, _roll_l(pk), pk)
+            pk = jnp.where(delta == -1, pltpu.roll(pk, 1, 1), pk)
+            return pk
+
+        jax.lax.fori_loop(0, PACK, band, pk0)
         return 0
 
-    jax.lax.fori_loop(0, CHUNK, band, 0, unroll=False)
+    jax.lax.fori_loop(0, CHUNK // PACK, group, 0)
 
     sumem_ref[:] = sum_em[:]
     stats_ref[:, 0:1] = n_pairs[:]
     stats_ref[:, 1:2] = max_gap[:]
     stats_ref[:, 2:3] = last_ki[:]
     stats_ref[:, 3:4] = min_ev[:]
-    stats_ref[:, 4:5] = max_ev[:]
 
 
 # ---------------------------------------------------------------------------
@@ -486,7 +545,6 @@ def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False):
             pltpu.VMEM((B, 1), jnp.int32),         # r_prev
             pltpu.VMEM((B, 1), jnp.float32),       # best_s
             pltpu.VMEM((B, 1), jnp.int32),         # best_e
-            pltpu.VMEM((B, LANES), jnp.int32),     # trace pack acc
             pltpu.VMEM((B, 384), jnp.float32),     # refill staging
         ],
         interpret=interpret,
@@ -526,7 +584,7 @@ def _backtrack_call(trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, 1), jnp.int32) for _ in range(4)] +
         [pltpu.VMEM((B, 1), jnp.float32)] +
-        [pltpu.VMEM((B, 1), jnp.int32) for _ in range(6)] +
+        [pltpu.VMEM((B, 1), jnp.int32) for _ in range(5)] +
         [pltpu.VMEM((B, WIN), jnp.float32) for _ in range(4)] +
         [pltpu.VMEM((B, 384), jnp.float32)],
         interpret=interpret,
@@ -562,7 +620,9 @@ def _exact_align_device(evr, tmu, tsig, tc, nev, nk, lps, lpt,
     max_gap = stats[:, 1]
     last_ki = stats[:, 2]
     min_ev = stats[:, 3]
-    max_ev = stats[:, 4]
+    # the walk starts at best_e whenever it activates at all, so the scan
+    # port's running max_ev is best_e for activated reads, -1 otherwise
+    max_ev = jnp.where(best_ok[:, 0] > 0, best_e[:, 0], -1)
     avg = sum_em[:, 0] / jnp.maximum(n_pairs, 1).astype(jnp.float32)
     spanned = (last_ki == 0) & (n_pairs > 0)
     failed = ((avg < MIN_AVG_LOG_EMISSION) | (~spanned) |
