@@ -398,15 +398,17 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
         min_ev[:] = jnp.full((B, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
 
     # --- stream refills: es[j] = event[cur_e - j] (current at lane 0,
-    # rolled left on event decrements); k*[j] = table[cur_k - 255 + j]
-    # (current at lane 255, rolled right on kmer decrements).  Both stay
-    # valid for 128 decrements between refills (circular garbage enters
-    # at the far lane). ---
+    # rolled left on event decrements); k*[j] = table[cur_k - 127 + j]
+    # (current at lane 127, rolled right on kmer decrements).  A chunk
+    # reads at most 127 lanes past the refill position (the walk
+    # advances each stream at most once per band, and the last band's
+    # advance is never read within the chunk), so 128-lane streams
+    # suffice — circular roll garbage only enters lanes already consumed.
     j0e = (Tp + 255) - cur_e[:]
-    j0k = cur_k[:] + 1                      # = 256 + (cur_k - 255)
+    j0k = cur_k[:] + 129                    # = 256 + (cur_k - 127)
     for j0, scalar_j0, srcs in (
             (j0e, lambda b: (Tp + 255) - cur_e[b, 0], ((evr_ref, es),)),
-            (j0k, lambda b: cur_k[b, 0] + 1,
+            (j0k, lambda b: cur_k[b, 0] + 129,
              ((tmu_ref, kmu), (tsig_ref, ksig), (tc_ref, kc)))):
         r_vec = j0 & 127
         for src_ref, w in srcs:
@@ -414,7 +416,7 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
                 jb = scalar_j0(b)
                 ab = pl.multiple_of(jb - (jb & 127), 128)
                 stage[b, :] = src_ref[b, pl.ds(ab, 384)]
-            w[:] = _align_left(stage[:], r_vec)[:, :WIN]
+            w[:] = _align_left(stage[:], r_vec)[:, :LANES]
 
     bi0 = 2 + (n_steps - 1 - i) * CHUNK
 
@@ -443,8 +445,8 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
             # emission at the visited cell, reference f32 op order
             # (same elementwise ops as the scan oracle)
             ev0 = es[:, 0:1]
-            a = (ev0 - kmu[:, WIN - 1:WIN]) / ksig[:, WIN - 1:WIN]
-            em = kc[:, WIN - 1:WIN] + (-0.5 * a) * a
+            a = (ev0 - kmu[:, LANES - 1:LANES]) / ksig[:, LANES - 1:LANES]
+            em = kc[:, LANES - 1:LANES] + (-0.5 * a) * a
 
             is_l = code == FROM_L
             dec_k = (act & (code != FROM_U)).astype(jnp.int32)   # D or L
@@ -585,7 +587,7 @@ def _backtrack_call(trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok,
         scratch_shapes=[pltpu.VMEM((B, 1), jnp.int32) for _ in range(4)] +
         [pltpu.VMEM((B, 1), jnp.float32)] +
         [pltpu.VMEM((B, 1), jnp.int32) for _ in range(5)] +
-        [pltpu.VMEM((B, WIN), jnp.float32) for _ in range(4)] +
+        [pltpu.VMEM((B, LANES), jnp.float32) for _ in range(4)] +
         [pltpu.VMEM((B, 384), jnp.float32)],
         interpret=interpret,
     )(trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok)
