@@ -70,7 +70,8 @@ PACK = 16            # trace cells packed per int32 (2 bits each)
 
 # Trace-time ablation switches for kernel cost attribution (perf work
 # only — ablated kernels return wrong results).  Comma-separated subset
-# of {rows,extract,streams,stats} in NPT_ABLATE.
+# of {rows,streams,stats} (backtrack) and {fwin,femit,ftrace} (fill)
+# in NPT_ABLATE.
 import os as _os
 _ABLATE = frozenset(
     s for s in _os.environ.get("NPT_ABLATE", "").split(",") if s)
@@ -244,14 +245,15 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
     need_end = jnp.any((prev_llk + CHUNK >= nk - BANDWIDTH) &
                        (prev_llk <= nk - 1))
 
-    def band(bi, parity, with_trim_end, buf_cur, buf_prev):
-        """One band; bi is traced, parity is a Python constant; buf_cur /
-        buf_prev are the ping-pong score buffers picked statically by the
-        caller's unroll parity (the new band overwrites buf_prev, which
-        becomes the next band's buf_cur — no per-band copy).  Returns the
-        [B, LANES] trace vector (band decision at lane 127)."""
-        sp = buf_cur[:]
-        sp2 = buf_prev[:]
+    def band(bi, parity, with_trim_end, st):
+        """One band as a pure function of the carried state tuple — no
+        scratch access inside the unrolled group, so consecutive bands
+        chain through registers instead of VMEM store->load turnarounds
+        (measured: the ablated-to-nothing kernel ran at ~88% of the full
+        kernel's time when every band round-tripped scratch).  bi is
+        traced, parity is a Python constant.  Returns (tr, new state)."""
+        (sp, sp2, ew_v, kmu_v, ksig_v, kc_v,
+         ll_e_v, r_prev_v, best_s_v, best_e_v) = st
 
         # --- adaptive placement (raw_loader.cpp:175-195) ---
         ll = sp[:, 0:1]
@@ -259,18 +261,14 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
         both_ob = (ll < OB) & (ur < OB)
         r_i = jnp.where(both_ob, parity, (ll < ur).astype(jnp.int32))
         right = r_i > 0                                # [B,1] bool
-        ll_e_new = ll_e[:] + (1 - r_i)
+        ll_e_new = ll_e_v + (1 - r_i)
 
         # --- window maintenance ---
-        ew_v = ew[:]
-        ew_v = jnp.where(right, ew_v, pltpu.roll(ew_v, 1, 1))
-        ew[:] = ew_v
-        kmu_v = jnp.where(right, _roll_l(kmu[:]), kmu[:])
-        ksig_v = jnp.where(right, _roll_l(ksig[:]), ksig[:])
-        kc_v = jnp.where(right, _roll_l(kc[:]), kc[:])
-        kmu[:] = kmu_v
-        ksig[:] = ksig_v
-        kc[:] = kc_v
+        if "fwin" not in _ABLATE:
+            ew_v = jnp.where(right, ew_v, pltpu.roll(ew_v, 1, 1))
+            kmu_v = jnp.where(right, _roll_l(kmu_v), kmu_v)
+            ksig_v = jnp.where(right, _roll_l(ksig_v), ksig_v)
+            kc_v = jnp.where(right, _roll_l(kc_v), kc_v)
 
         # --- neighbor alignment (circular roll junk only reaches the
         # masked lanes >= 100, which hold -inf in s_prev/s_prev2) ---
@@ -278,22 +276,28 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
         sp_r = pltpu.roll(sp, 1, 1)
         up = jnp.where(right, sp_l, sp)
         left = jnp.where(right, sp, sp_r)
-        amt = r_prev[:] + r_i - 1                      # in {-1, 0, 1}
+        amt = r_prev_v + r_i - 1                       # in {-1, 0, 1}
         diag = jnp.where(amt == 1, _roll_l(sp2),
                          jnp.where(amt == 0, sp2, pltpu.roll(sp2, 1, 1)))
 
         # --- emission in the reference's f32 operation order ---
-        ev_band = ew_v[:, LANES:WIN]
-        a = (ev_band - kmu_v[:, 0:LANES]) / ksig_v[:, 0:LANES]
-        em = kc_v[:, 0:LANES] + (-0.5 * a) * a
+        if "femit" not in _ABLATE:
+            ev_band = ew_v[:, LANES:WIN]
+            a = (ev_band - kmu_v[:, 0:LANES]) / ksig_v[:, 0:LANES]
+            em = kc_v[:, 0:LANES] + (-0.5 * a) * a
+        else:
+            em = kc_v[:, 0:LANES]
 
         sd = (diag + lp_step) + em
         su = (up + lp_stay) + em
         sl = left + LP_SKIP
         m2 = jnp.maximum(sd, su)
         m3 = jnp.maximum(m2, sl)
-        tr = jnp.where(sl >= m2, FROM_L,
-                       jnp.where(su >= sd, FROM_U, FROM_D))   # ties: L > U > D
+        if "ftrace" not in _ABLATE:
+            tr = jnp.where(sl >= m2, FROM_L,
+                           jnp.where(su >= sd, FROM_U, FROM_D))  # L > U > D
+        else:
+            tr = jnp.zeros((B, LANES), jnp.int32)
         cell = m3
 
         if with_trim_end:
@@ -321,45 +325,54 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
             end_ok = (o_end >= 0) & (o_end < BANDWIDTH) & \
                 (ei_end >= 0) & (ei_end < nev)
             endsc = v_end + (nev - ei_end).astype(jnp.float32) * LP_TRIM
-            better = end_ok & (endsc > best_s[:])
-            best_s[:] = jnp.where(better, endsc, best_s[:])
-            best_e[:] = jnp.where(better, ei_end, best_e[:])
+            better = end_ok & (endsc > best_s_v)
+            best_s_v = jnp.where(better, endsc, best_s_v)
+            best_e_v = jnp.where(better, ei_end, best_e_v)
 
         # band decision bit rides lane 127 (unused by the 100-wide band)
-        tr = jnp.where(lanes == LANES - 1, r_i, tr)
+        if "ftrace" not in _ABLATE:
+            tr = jnp.where(lanes == LANES - 1, r_i, tr)
 
-        buf_prev[:] = cell
-        ll_e[:] = ll_e_new
-        r_prev[:] = r_i
-        return tr
+        return tr, (cell, sp, ew_v, kmu_v, ksig_v, kc_v,
+                    ll_e_new, r_i, best_s_v, best_e_v)
 
-    def group(g, _, with_trim_end):
+    def load_state():
+        return (s_prev[:], s_prev2[:], ew[:], kmu[:], ksig[:], kc[:],
+                ll_e[:], r_prev[:], best_s[:], best_e[:])
+
+    def store_state(st):
+        (s_prev[:], s_prev2[:], ew[:], kmu[:], ksig[:], kc[:],
+         ll_e[:], r_prev[:], best_s[:], best_e[:]) = st
+
+    def group(g, st, with_trim_end):
         """PACK bands, statically unrolled: parity and the 2-bit shift
         are Python constants, the packed trace accumulates in registers
-        with one store per group, and the two score buffers ping-pong on
-        the static unroll parity (PACK and CHUNK are even, so buffer
-        roles are identical at every group and chunk boundary)."""
+        with one store per group, and the full DP state (score rows,
+        windows, placement bookkeeping) flows band-to-band as loop-
+        carried values."""
         c0 = g * PACK
         acc = jnp.zeros((B, LANES), jnp.int32)
         for m in range(PACK):
             # bi0, g*PACK and PACK are all even, so rem(bi, 2) == m & 1
-            cur, prev = (s_prev, s_prev2) if m % 2 == 0 else (s_prev2, s_prev)
-            tr = band(bi0 + c0 + m, m & 1, with_trim_end, cur, prev)
-            acc = acc | jnp.left_shift(tr, 2 * m)
+            tr, st = band(bi0 + c0 + m, m & 1, with_trim_end, st)
+            if "ftrace" not in _ABLATE:
+                acc = acc | jnp.left_shift(tr, 2 * m)
         trace_ref[g, :, :] = acc
-        return 0
+        return st
 
     full = need_trim | need_end
 
     @pl.when(full)
     def _():
-        jax.lax.fori_loop(0, CHUNK // PACK,
-                          functools.partial(group, with_trim_end=True), 0)
+        store_state(jax.lax.fori_loop(
+            0, CHUNK // PACK,
+            functools.partial(group, with_trim_end=True), load_state()))
 
     @pl.when(jnp.logical_not(full))
     def _():
-        jax.lax.fori_loop(0, CHUNK // PACK,
-                          functools.partial(group, with_trim_end=False), 0)
+        store_state(jax.lax.fori_loop(
+            0, CHUNK // PACK,
+            functools.partial(group, with_trim_end=False), load_state()))
 
     lle_ref[:] = ll_e[:]
     bests_ref[:] = best_s[:]
@@ -420,7 +433,17 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
 
     bi0 = 2 + (n_steps - 1 - i) * CHUNK
 
-    def group(gg, _):
+    def load_walk():
+        return (cur_e[:], cur_k[:], ll_e[:], active[:], sum_em[:],
+                n_pairs[:], cur_gap[:], max_gap[:], last_ki[:], min_ev[:],
+                es[:], kmu[:], ksig[:], kc[:])
+
+    def store_walk(st):
+        (cur_e[:], cur_k[:], ll_e[:], active[:], sum_em[:],
+         n_pairs[:], cur_gap[:], max_gap[:], last_ki[:], min_ev[:],
+         es[:], kmu[:], ksig[:], kc[:]) = st
+
+    def group(gg, st):
         g = (CHUNK // PACK - 1) - gg
         packed = trace_ref[g, :, :]                     # one load per group
         rbits = packed[:, LANES - 1:LANES]              # 16 decision bits
@@ -430,83 +453,87 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
         # conditional roll; circular wraparound matches the mod-128
         # arithmetic of `off & 127`, so pre-activation garbage offsets
         # stay consistent and harmless (act is false there).
-        off0 = (ll_e[:] - cur_e[:]) & 127
+        off0 = (st[2] - st[0]) & 127                    # ll_e - cur_e
         pk0 = _align_left(packed, off0)
 
-        def band(mm, pk):
+        def band(mm, carry):
+            (pk, cur_e_v, cur_k_v, ll_e_v, active_v, sum_em_v, n_pairs_v,
+             cur_gap_v, max_gap_v, last_ki_v, min_ev_v,
+             es_v, kmu_v, ksig_v, kc_v) = carry
             m = (PACK - 1) - mm
             c = g * PACK + m
             bi = bi0 + c
             right = jnp.right_shift(rbits, 2 * m) & 3   # band decision bit
             code = jnp.right_shift(pk[:, 0:1], 2 * m) & 3
 
-            act = (active[:] > 0) & ((cur_e[:] + cur_k[:] + 2) == bi)
+            act = (active_v > 0) & ((cur_e_v + cur_k_v + 2) == bi)
 
             # emission at the visited cell, reference f32 op order
             # (same elementwise ops as the scan oracle)
-            ev0 = es[:, 0:1]
-            a = (ev0 - kmu[:, LANES - 1:LANES]) / ksig[:, LANES - 1:LANES]
-            em = kc[:, LANES - 1:LANES] + (-0.5 * a) * a
+            ev0 = es_v[:, 0:1]
+            a = (ev0 - kmu_v[:, LANES - 1:LANES]) / ksig_v[:, LANES - 1:LANES]
+            em = kc_v[:, LANES - 1:LANES] + (-0.5 * a) * a
 
             is_l = code == FROM_L
             dec_k = (act & (code != FROM_U)).astype(jnp.int32)   # D or L
             dec_e = (act & (~is_l)).astype(jnp.int32)            # D or U
 
             if "stats" not in _ABLATE:
-                sum_em[:] = jnp.where(act, sum_em[:] + em, sum_em[:])
-                n_pairs[:] = n_pairs[:] + act.astype(jnp.int32)
-                cur_gap[:] = jnp.where(act,
-                                       jnp.where(is_l, cur_gap[:] + 1, 0),
-                                       cur_gap[:])
-                max_gap[:] = jnp.maximum(max_gap[:], cur_gap[:])
+                sum_em_v = jnp.where(act, sum_em_v + em, sum_em_v)
+                n_pairs_v = n_pairs_v + act.astype(jnp.int32)
+                cur_gap_v = jnp.where(act,
+                                      jnp.where(is_l, cur_gap_v + 1, 0),
+                                      cur_gap_v)
+                max_gap_v = jnp.maximum(max_gap_v, cur_gap_v)
 
-            k_next = cur_k[:] - dec_k
-            e_next = cur_e[:] - dec_e
+            k_next = cur_k_v - dec_k
+            e_next = cur_e_v - dec_e
             terminates = (k_next < 0) | (e_next < 0)
             cap = act & terminates
             # walk coordinates are non-increasing: the stats the scan port
             # tracks with per-band min/max resolve to the termination cell
-            last_ki[:] = jnp.where(cap, cur_k[:], last_ki[:])
-            min_ev[:] = jnp.where(cap, cur_e[:], min_ev[:])
+            last_ki_v = jnp.where(cap, cur_k_v, last_ki_v)
+            min_ev_v = jnp.where(cap, cur_e_v, min_ev_v)
             # a pair enters the base->event map iff its event differs from
             # the previous (forward-order) pair's event
             # (squiggle_read.cpp:284-299)
             map_valid = act & ((~is_l) | terminates)
 
             if "rows" not in _ABLATE:
-                rows_k_ref[c, :] = jnp.where(map_valid, cur_k[:], -1)[:, 0]
-                rows_e_ref[c, :] = jnp.where(map_valid, cur_e[:], -1)[:, 0]
+                rows_k_ref[c, :] = jnp.where(map_valid, cur_k_v, -1)[:, 0]
+                rows_e_ref[c, :] = jnp.where(map_valid, cur_e_v, -1)[:, 0]
 
             if "streams" not in _ABLATE:
                 # stream advances follow the walk
-                es[:] = jnp.where(dec_e > 0, _roll_l(es[:]), es[:])
+                es_v = jnp.where(dec_e > 0, _roll_l(es_v), es_v)
                 kroll = dec_k > 0
-                kmu[:] = jnp.where(kroll, pltpu.roll(kmu[:], 1, 1), kmu[:])
-                ksig[:] = jnp.where(kroll, pltpu.roll(ksig[:], 1, 1), ksig[:])
-                kc[:] = jnp.where(kroll, pltpu.roll(kc[:], 1, 1), kc[:])
+                kmu_v = jnp.where(kroll, pltpu.roll(kmu_v, 1, 1), kmu_v)
+                ksig_v = jnp.where(kroll, pltpu.roll(ksig_v, 1, 1), ksig_v)
+                kc_v = jnp.where(kroll, pltpu.roll(kc_v, 1, 1), kc_v)
 
-            cur_k[:] = k_next
-            cur_e[:] = e_next
-            active[:] = jnp.where(cap, 0, active[:])
-            ll_e[:] = ll_e[:] - (1 - right)
+            active_v = jnp.where(cap, 0, active_v)
+            ll_e_v = ll_e_v - (1 - right)
 
             # maintain the walk alignment of the packed row: the visited
             # offset moves by dec_e - (1 - right) in {-1, 0, +1} per band
             delta = dec_e - (1 - right)
             pk = jnp.where(delta == 1, _roll_l(pk), pk)
             pk = jnp.where(delta == -1, pltpu.roll(pk, 1, 1), pk)
-            return pk
+            return (pk, e_next, k_next, ll_e_v, active_v, sum_em_v,
+                    n_pairs_v, cur_gap_v, max_gap_v, last_ki_v, min_ev_v,
+                    es_v, kmu_v, ksig_v, kc_v)
 
-        jax.lax.fori_loop(0, PACK, band, pk0)
-        return 0
+        out = jax.lax.fori_loop(0, PACK, band, (pk0,) + st)
+        return out[1:]
 
-    jax.lax.fori_loop(0, CHUNK // PACK, group, 0)
+    st = jax.lax.fori_loop(0, CHUNK // PACK, group, load_walk())
+    store_walk(st)
 
-    sumem_ref[:] = sum_em[:]
-    stats_ref[:, 0:1] = n_pairs[:]
-    stats_ref[:, 1:2] = max_gap[:]
-    stats_ref[:, 2:3] = last_ki[:]
-    stats_ref[:, 3:4] = min_ev[:]
+    sumem_ref[:] = st[4]
+    stats_ref[:, 0:1] = st[5]
+    stats_ref[:, 1:2] = st[7]
+    stats_ref[:, 2:3] = st[8]
+    stats_ref[:, 3:4] = st[9]
 
 
 # ---------------------------------------------------------------------------
