@@ -100,3 +100,48 @@ def test_exact_garbage_read_fails_qc():
                              interpret=True)
     assert res.failed.all()
     assert (np.asarray(res.b2e_start) == -1).all()
+
+
+@pytest.mark.parametrize("K,T", [
+    (40, 90),        # shorter than the 100-wide band: trim+end overlap
+    (126, 130),      # n_bands straddles exactly two grid chunks
+])
+def test_exact_tiny_reads(K, T):
+    """Reads shorter than BANDWIDTH keep every chunk in the gated
+    trim/end path; byte-compare against the NumPy port."""
+    B = 4
+    ev, mu, sigma = _synthetic(B, K, T, epk=T / K, seed=5, noise=1.0)
+    n_events = np.full(B, T, np.int32)
+    n_kmers = np.full(B, K, np.int32)
+    res = banded_align_exact(ev, n_events, mu, sigma, np.log(sigma),
+                             n_kmers, interpret=True)
+    for b in range(B):
+        pairs, stats = banded_align_reference(
+            ev[b], mu[b], sigma[b], np.log(sigma[b]))
+        assert bool(res.failed[b]) == stats["failed"]
+        if not stats["failed"]:
+            assert int(res.n_pairs[b]) == stats["n_pairs"]
+            b2e = base_to_event_map_from_pairs(pairs, K)
+            np.testing.assert_array_equal(res.b2e_start[b], b2e[:, 0])
+            np.testing.assert_array_equal(res.b2e_stop[b], b2e[:, 1])
+
+
+def test_exact_mixed_batch_tiny_and_long():
+    """One batch mixing a 45-kmer read with 280-kmer reads: per-read
+    trim/end liveness diverges inside shared chunks, and the padded
+    lanes of the short read must not perturb its QC stats."""
+    B = 4
+    K, T = 280, 590
+    ev, mu, sigma = _synthetic(B, K, T, seed=31, noise=1.0)
+    n_events = np.array([T, 95, T, 160], np.int32)
+    n_kmers = np.array([K, 45, K, 80], np.int32)
+    lp_stay, lp_step = transition_params_f32(n_events, n_kmers)
+    res = banded_align_exact(ev, n_events, mu, sigma, np.log(sigma), n_kmers,
+                             lp_stay=lp_stay, lp_step=lp_step, interpret=True)
+    ref = banded_align_batch(ev, n_events, mu, sigma, np.log(sigma), n_kmers,
+                             lp_stay=lp_stay[:, 0], lp_step=lp_step[:, 0])
+    for f in ("failed", "max_gap", "n_pairs", "spanned", "avg_log_emission",
+              "events_per_base", "b2e_start", "b2e_stop"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res, f)), np.asarray(getattr(ref, f)),
+            err_msg=f)
