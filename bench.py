@@ -29,10 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # benchmark shape: 8 kb reads at ~2 events/base (r9.4 DNA typical)
 N_BASES = 8192
 EVENTS_PER_BASE = 2.0
-# B=64 is the largest batch whose inputs fit VMEM-resident for the
-# reference-exact band-100 kernel (the production default banded path).
-# Batch size amortizes the per-dispatch round trip of remote attachment.
-BATCH = 64
+# B=128 is the measured throughput sweet spot for the reference-exact
+# band-100 kernel (the production default banded path): the band loop
+# has a large batch-independent structural cost (~8.6 ms/batch fill),
+# so wider batches amortize it until vector work dominates (B=256
+# measured slower).  Inputs stay VMEM-resident under the raised scoped
+# limit (v5e: 128 MB physical).
+BATCH = 128
 CPU_THREADS_BASELINE = 16
 CPU_SAMPLE_READS = 3
 
@@ -115,8 +118,8 @@ def bench_tpu(on_rate=None):
     # once a fast window is caught.
     budget_s = float(os.environ.get("NPT_BENCH_BUDGET_S", "420"))
     # chip-limited territory for the exact pipeline; tunnel not in the way
-    # (measured best: ~2,400 reads/s full pipeline at B=64)
-    good_rate = float(os.environ.get("NPT_BENCH_GOOD_RATE", "2350"))
+    # (measured best: ~2,700 reads/s full pipeline at B=128)
+    good_rate = float(os.environ.get("NPT_BENCH_GOOD_RATE", "2650"))
     rates = []
     t_start = time.perf_counter()
     while not rates or time.perf_counter() - t_start < budget_s:
