@@ -118,8 +118,8 @@ def bench_tpu(on_rate=None):
     # once a fast window is caught.
     budget_s = float(os.environ.get("NPT_BENCH_BUDGET_S", "420"))
     # chip-limited territory for the exact pipeline; tunnel not in the way
-    # (measured best: ~2,700 reads/s full pipeline at B=128)
-    good_rate = float(os.environ.get("NPT_BENCH_GOOD_RATE", "2650"))
+    # (measured best: ~5,500 reads/s full pipeline at B=128)
+    good_rate = float(os.environ.get("NPT_BENCH_GOOD_RATE", "5400"))
     rates = []
     t_start = time.perf_counter()
     while not rates or time.perf_counter() - t_start < budget_s:

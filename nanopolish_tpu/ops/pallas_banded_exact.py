@@ -383,53 +383,74 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
 # Backtrack kernel
 # ---------------------------------------------------------------------------
 
+def _align_up(x, r_row):
+    """Vectorized up-rotate of x [n, B] by per-lane r_row [1, B] (0..127):
+    out[j, b] = x[(j + r) % n, b].  Sublane analogue of _align_left,
+    decomposed into static power-of-two rolls gated per lane."""
+    n = x.shape[0]
+    for bit in (64, 32, 16, 8, 4, 2, 1):
+        x = jnp.where((r_row & bit) != 0, pltpu.roll(x, n - bit, 0), x)
+    return x
+
+
+def _roll_up(x, n=1):
+    """Circular roll towards row 0 by n sublanes: out[j] = x[(j + n) % N]."""
+    return pltpu.roll(x, x.shape[0] - n, 0)
+
+
 def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
                       nk_ref, lle_ref, beste_ref, bok_ref,
                       rows_k_ref, rows_e_ref, sumem_ref, stats_ref,
                       cur_e, cur_k, ll_e, active, sum_em,
                       n_pairs, cur_gap, max_gap, last_ki, min_ev,
                       es, kmu, ksig, kc, stage, Tp):
+    """Walk-replay backtrack, lane-major: the walk state lives in [1, B]
+    rows (reads on the lane axis — every per-band scalar op is one vreg
+    instead of the 16 a [B, 1] column costs), and the data streams live
+    TRANSPOSED as [LANES, B] blocks rolled along sublanes, so the current
+    element of each stream is the natural [1, B] row slice with no
+    per-band relayout."""
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
-    B = cur_e.shape[0]
-    lanes = _iota_b(B, LANES)
+    B = cur_e.shape[1]
 
     @pl.when(i == 0)
     def _():
-        cur_k[:] = nk_ref[:, 0:1] - 1
-        cur_e[:] = beste_ref[:, 0:1]
-        ll_e[:] = lle_ref[:, 0:1]
-        active[:] = bok_ref[:, 0:1]
-        sum_em[:] = jnp.zeros((B, 1), jnp.float32)
-        n_pairs[:] = jnp.zeros((B, 1), jnp.int32)
-        cur_gap[:] = jnp.zeros((B, 1), jnp.int32)
-        max_gap[:] = jnp.zeros((B, 1), jnp.int32)
-        last_ki[:] = jnp.full((B, 1), -1, jnp.int32)
+        cur_k[:] = nk_ref[:] - 1
+        cur_e[:] = beste_ref[:]
+        ll_e[:] = lle_ref[:]
+        active[:] = bok_ref[:]
+        sum_em[:] = jnp.zeros((1, B), jnp.float32)
+        n_pairs[:] = jnp.zeros((1, B), jnp.int32)
+        cur_gap[:] = jnp.zeros((1, B), jnp.int32)
+        max_gap[:] = jnp.zeros((1, B), jnp.int32)
+        last_ki[:] = jnp.full((1, B), -1, jnp.int32)
         # min_ev / last_ki are captured at walk termination (the walk's
         # event coordinate is non-increasing, so min == value at the last
         # active band); max_ev == best_e and is derived in the wrapper.
-        min_ev[:] = jnp.full((B, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
+        min_ev[:] = jnp.full((1, B), jnp.iinfo(jnp.int32).max, jnp.int32)
 
-    # --- stream refills: es[j] = event[cur_e - j] (current at lane 0,
-    # rolled left on event decrements); k*[j] = table[cur_k - 127 + j]
-    # (current at lane 127, rolled right on kmer decrements).  A chunk
-    # reads at most 127 lanes past the refill position (the walk
-    # advances each stream at most once per band, and the last band's
-    # advance is never read within the chunk), so 128-lane streams
-    # suffice — circular roll garbage only enters lanes already consumed.
-    j0e = (Tp + 255) - cur_e[:]
-    j0k = cur_k[:] + 129                    # = 256 + (cur_k - 127)
-    for j0, scalar_j0, srcs in (
-            (j0e, lambda b: (Tp + 255) - cur_e[b, 0], ((evr_ref, es),)),
-            (j0k, lambda b: cur_k[b, 0] + 129,
+    # --- stream refills: es[j, b] = event[cur_e - j] (current at row 0,
+    # rolled up on event decrements); k*[j, b] = table[cur_k - 127 + j]
+    # (current at row 127, rolled down on kmer decrements).  A chunk
+    # reads at most 127 rows past the refill position (the walk advances
+    # each stream at most once per band, and the last band's advance is
+    # never read within the chunk), so 128-row streams suffice — circular
+    # roll garbage only enters rows already consumed.  The per-read
+    # 128-aligned loads stage row-major; one [B, 256] -> [256, B]
+    # transpose per stream per chunk moves them into the walk layout.
+    for scalar_j0, j0_row, srcs in (
+            (lambda b: (Tp + 255) - cur_e[0, b], (Tp + 255) - cur_e[:],
+             ((evr_ref, es),)),
+            (lambda b: cur_k[0, b] + 129, cur_k[:] + 129,
              ((tmu_ref, kmu), (tsig_ref, ksig), (tc_ref, kc)))):
-        r_vec = j0 & 127
+        r_row = j0_row & 127
         for src_ref, w in srcs:
             for b in range(B):
                 jb = scalar_j0(b)
                 ab = pl.multiple_of(jb - (jb & 127), 128)
-                stage[b, :] = src_ref[b, pl.ds(ab, 384)]
-            w[:] = _align_left(stage[:], r_vec)[:, :LANES]
+                stage[b, :] = src_ref[b, pl.ds(ab, 256)]
+            w[:] = _align_up(jnp.transpose(stage[:]), r_row)[:LANES, :]
 
     bi0 = 2 + (n_steps - 1 - i) * CHUNK
 
@@ -445,16 +466,16 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
 
     def group(gg, st):
         g = (CHUNK // PACK - 1) - gg
-        packed = trace_ref[g, :, :]                     # one load per group
-        rbits = packed[:, LANES - 1:LANES]              # 16 decision bits
-        # Align the packed row to the walk: the visited offset's 2-bit
-        # codes live at lane 0 for the whole group.  The offset moves by
+        packed = jnp.transpose(trace_ref[g, :, :])      # [LANES, B]
+        rbits = packed[LANES - 1:LANES, :]              # 16 decision bits
+        # Align the packed block to the walk: the visited offset's 2-bit
+        # codes live at row 0 for the whole group.  The offset moves by
         # {-1,0,+1} per band, so alignment is maintained with one
         # conditional roll; circular wraparound matches the mod-128
         # arithmetic of `off & 127`, so pre-activation garbage offsets
         # stay consistent and harmless (act is false there).
         off0 = (st[2] - st[0]) & 127                    # ll_e - cur_e
-        pk0 = _align_left(packed, off0)
+        pk0 = _align_up(packed, off0)
 
         def band(mm, carry):
             (pk, cur_e_v, cur_k_v, ll_e_v, active_v, sum_em_v, n_pairs_v,
@@ -464,15 +485,15 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
             c = g * PACK + m
             bi = bi0 + c
             right = jnp.right_shift(rbits, 2 * m) & 3   # band decision bit
-            code = jnp.right_shift(pk[:, 0:1], 2 * m) & 3
+            code = jnp.right_shift(pk[0:1, :], 2 * m) & 3
 
             act = (active_v > 0) & ((cur_e_v + cur_k_v + 2) == bi)
 
             # emission at the visited cell, reference f32 op order
             # (same elementwise ops as the scan oracle)
-            ev0 = es_v[:, 0:1]
-            a = (ev0 - kmu_v[:, LANES - 1:LANES]) / ksig_v[:, LANES - 1:LANES]
-            em = kc_v[:, LANES - 1:LANES] + (-0.5 * a) * a
+            ev0 = es_v[0:1, :]
+            a = (ev0 - kmu_v[LANES - 1:LANES, :]) / ksig_v[LANES - 1:LANES, :]
+            em = kc_v[LANES - 1:LANES, :] + (-0.5 * a) * a
 
             is_l = code == FROM_L
             dec_k = (act & (code != FROM_U)).astype(jnp.int32)   # D or L
@@ -500,25 +521,25 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
             map_valid = act & ((~is_l) | terminates)
 
             if "rows" not in _ABLATE:
-                rows_k_ref[c, :] = jnp.where(map_valid, cur_k_v, -1)[:, 0]
-                rows_e_ref[c, :] = jnp.where(map_valid, cur_e_v, -1)[:, 0]
+                rows_k_ref[c, :] = jnp.where(map_valid, cur_k_v, -1)[0, :]
+                rows_e_ref[c, :] = jnp.where(map_valid, cur_e_v, -1)[0, :]
 
             if "streams" not in _ABLATE:
                 # stream advances follow the walk
-                es_v = jnp.where(dec_e > 0, _roll_l(es_v), es_v)
+                es_v = jnp.where(dec_e > 0, _roll_up(es_v), es_v)
                 kroll = dec_k > 0
-                kmu_v = jnp.where(kroll, pltpu.roll(kmu_v, 1, 1), kmu_v)
-                ksig_v = jnp.where(kroll, pltpu.roll(ksig_v, 1, 1), ksig_v)
-                kc_v = jnp.where(kroll, pltpu.roll(kc_v, 1, 1), kc_v)
+                kmu_v = jnp.where(kroll, pltpu.roll(kmu_v, 1, 0), kmu_v)
+                ksig_v = jnp.where(kroll, pltpu.roll(ksig_v, 1, 0), ksig_v)
+                kc_v = jnp.where(kroll, pltpu.roll(kc_v, 1, 0), kc_v)
 
             active_v = jnp.where(cap, 0, active_v)
             ll_e_v = ll_e_v - (1 - right)
 
-            # maintain the walk alignment of the packed row: the visited
+            # maintain the walk alignment of the packed block: the visited
             # offset moves by dec_e - (1 - right) in {-1, 0, +1} per band
             delta = dec_e - (1 - right)
-            pk = jnp.where(delta == 1, _roll_l(pk), pk)
-            pk = jnp.where(delta == -1, pltpu.roll(pk, 1, 1), pk)
+            pk = jnp.where(delta == 1, _roll_up(pk), pk)
+            pk = jnp.where(delta == -1, pltpu.roll(pk, 1, 0), pk)
             return (pk, e_next, k_next, ll_e_v, active_v, sum_em_v,
                     n_pairs_v, cur_gap_v, max_gap_v, last_ki_v, min_ev_v,
                     es_v, kmu_v, ksig_v, kc_v)
@@ -530,10 +551,10 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
     store_walk(st)
 
     sumem_ref[:] = st[4]
-    stats_ref[:, 0:1] = st[5]
-    stats_ref[:, 1:2] = st[7]
-    stats_ref[:, 2:3] = st[8]
-    stats_ref[:, 3:4] = st[9]
+    stats_ref[0:1, :] = st[5]
+    stats_ref[1:2, :] = st[7]
+    stats_ref[2:3, :] = st[8]
+    stats_ref[3:4, :] = st[9]
 
 
 # ---------------------------------------------------------------------------
@@ -592,11 +613,11 @@ def _backtrack_call(trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok,
     out_shape = (
         jax.ShapeDtypeStruct((n_steps * CHUNK, B), jnp.int32),   # rows_k
         jax.ShapeDtypeStruct((n_steps * CHUNK, B), jnp.int32),   # rows_e
-        jax.ShapeDtypeStruct((B, 1), jnp.float32),               # sum_em
-        jax.ShapeDtypeStruct((B, 8), jnp.int32),                 # stats
+        jax.ShapeDtypeStruct((1, B), jnp.float32),               # sum_em
+        jax.ShapeDtypeStruct((8, B), jnp.int32),                 # stats
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    fixed = pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    fixed = pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM)
     rev3t = lambda i: (n_steps - 1 - i, 0, 0)
     rev2 = lambda i: (n_steps - 1 - i, 0)
     return pl.pallas_call(
@@ -612,18 +633,20 @@ def _backtrack_call(trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok,
             pl.BlockSpec((CHUNK, B), rev2, memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK, B), rev2, memory_space=pltpu.VMEM),
             fixed,
-            pl.BlockSpec((B, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((B, 1), jnp.int32) for _ in range(4)] +
-        [pltpu.VMEM((B, 1), jnp.float32)] +
-        [pltpu.VMEM((B, 1), jnp.int32) for _ in range(5)] +
-        [pltpu.VMEM((B, LANES), jnp.float32) for _ in range(4)] +
-        [pltpu.VMEM((B, 384), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, B), jnp.int32) for _ in range(4)] +
+        [pltpu.VMEM((1, B), jnp.float32)] +
+        [pltpu.VMEM((1, B), jnp.int32) for _ in range(5)] +
+        [pltpu.VMEM((LANES, B), jnp.float32) for _ in range(4)] +
+        [pltpu.VMEM((B, 256), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok)
+    )(trace, evr, tmu, tsig, tc,
+      jnp.transpose(nk), jnp.transpose(lle), jnp.transpose(best_e),
+      jnp.transpose(best_ok))
 
 
 @functools.partial(jax.jit, static_argnames=("K0",))
@@ -651,14 +674,14 @@ def _exact_align_device(evr, tmu, tsig, tc, nev, nk, lps, lpt,
     rows_k, rows_e, sum_em, stats = _backtrack_call(
         trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok, Tp,
         interpret=interpret)
-    n_pairs = stats[:, 0]
-    max_gap = stats[:, 1]
-    last_ki = stats[:, 2]
-    min_ev = stats[:, 3]
+    n_pairs = stats[0, :]
+    max_gap = stats[1, :]
+    last_ki = stats[2, :]
+    min_ev = stats[3, :]
     # the walk starts at best_e whenever it activates at all, so the scan
     # port's running max_ev is best_e for activated reads, -1 otherwise
     max_ev = jnp.where(best_ok[:, 0] > 0, best_e[:, 0], -1)
-    avg = sum_em[:, 0] / jnp.maximum(n_pairs, 1).astype(jnp.float32)
+    avg = sum_em[0, :] / jnp.maximum(n_pairs, 1).astype(jnp.float32)
     spanned = (last_ki == 0) & (n_pairs > 0)
     failed = ((avg < MIN_AVG_LOG_EMISSION) | (~spanned) |
               (max_gap > MAX_GAP_THRESHOLD) | (n_pairs == 0))
