@@ -208,16 +208,12 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
                  lps_ref, lpt_ref,
                  trace_ref, lle_ref, bests_ref, beste_ref,
                  s_prev, s_prev2, ew, kmu, ksig, kc,
-                 ll_e, r_prev, best_s, best_e, stage, Tp):
+                 ll_e, r_prev, best_s, best_e, stage, Tp, nsplit):
     i = pl.program_id(0)
     B = s_prev.shape[0]
-    lanes = _iota_b(B, LANES)
+    Bs = B // nsplit                                   # reads per chain
+    lanes = _iota_b(Bs, LANES)
     lane_hi = lanes >= BANDWIDTH                       # offsets >= 100
-
-    nev = nev_ref[:, 0:1]
-    nk = nk_ref[:, 0:1]
-    lp_stay = lps_ref[:, 0:1]
-    lp_step = lpt_ref[:, 0:1]
 
     @pl.when(i == 0)
     def _():
@@ -240,18 +236,24 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
     # the ki == -1 trim column or the ki == nk-1 end column during this
     # chunk is decidable from the value entering the chunk.  ~97% of the
     # chunks of a full-length read need neither block.
+    nk_full = nk_ref[:, 0:1]
     prev_llk = (bi0 - 3) - ll_e[:]                     # ll_k of last band done
     need_trim = jnp.min(prev_llk) < 0
-    need_end = jnp.any((prev_llk + CHUNK >= nk - BANDWIDTH) &
-                       (prev_llk <= nk - 1))
+    need_end = jnp.any((prev_llk + CHUNK >= nk_full - BANDWIDTH) &
+                       (prev_llk <= nk_full - 1))
 
-    def band(bi, parity, with_trim_end, st):
+    def band(bi, parity, with_trim_end, ctx, st):
         """One band as a pure function of the carried state tuple — no
         scratch access inside the unrolled group, so consecutive bands
         chain through registers instead of VMEM store->load turnarounds
         (measured: the ablated-to-nothing kernel ran at ~88% of the full
         kernel's time when every band round-tripped scratch).  bi is
-        traced, parity is a Python constant.  Returns (tr, new state)."""
+        traced, parity is a Python constant.  Returns (tr, new state).
+
+        ctx carries the split's loop-invariant rows (nev/nk columns and
+        the lane-broadcast transition terms, hoisted once per grid step
+        so no [Bs,1]->[Bs,LANES] relayout rides the per-band chain)."""
+        nev, nk, lp_stay_w, lp_step_w = ctx
         (sp, sp2, ew_v, kmu_v, ksig_v, kc_v,
          ll_e_v, r_prev_v, best_s_v, best_e_v) = st
 
@@ -260,25 +262,29 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
         ur = sp[:, BANDWIDTH - 1:BANDWIDTH]
         both_ob = (ll < OB) & (ur < OB)
         r_i = jnp.where(both_ob, parity, (ll < ur).astype(jnp.int32))
-        right = r_i > 0                                # [B,1] bool
+        right = r_i > 0                                # [Bs,1] bool
         ll_e_new = ll_e_v + (1 - r_i)
+        # one column->lane broadcast per mask, reused by every select
+        right_w = jnp.broadcast_to(right, (right.shape[0], WIN))
+        right_b = right_w[:, :LANES]
 
         # --- window maintenance ---
         if "fwin" not in _ABLATE:
-            ew_v = jnp.where(right, ew_v, pltpu.roll(ew_v, 1, 1))
-            kmu_v = jnp.where(right, _roll_l(kmu_v), kmu_v)
-            ksig_v = jnp.where(right, _roll_l(ksig_v), ksig_v)
-            kc_v = jnp.where(right, _roll_l(kc_v), kc_v)
+            ew_v = jnp.where(right_w, ew_v, pltpu.roll(ew_v, 1, 1))
+            kmu_v = jnp.where(right_w, _roll_l(kmu_v), kmu_v)
+            ksig_v = jnp.where(right_w, _roll_l(ksig_v), ksig_v)
+            kc_v = jnp.where(right_w, _roll_l(kc_v), kc_v)
 
         # --- neighbor alignment (circular roll junk only reaches the
         # masked lanes >= 100, which hold -inf in s_prev/s_prev2) ---
         sp_l = _roll_l(sp)
         sp_r = pltpu.roll(sp, 1, 1)
-        up = jnp.where(right, sp_l, sp)
-        left = jnp.where(right, sp, sp_r)
+        up = jnp.where(right_b, sp_l, sp)
+        left = jnp.where(right_b, sp, sp_r)
         amt = r_prev_v + r_i - 1                       # in {-1, 0, 1}
-        diag = jnp.where(amt == 1, _roll_l(sp2),
-                         jnp.where(amt == 0, sp2, pltpu.roll(sp2, 1, 1)))
+        amt_w = jnp.broadcast_to(amt, (amt.shape[0], LANES))
+        diag = jnp.where(amt_w == 1, _roll_l(sp2),
+                         jnp.where(amt_w == 0, sp2, pltpu.roll(sp2, 1, 1)))
 
         # --- emission in the reference's f32 operation order ---
         if "femit" not in _ABLATE:
@@ -288,8 +294,8 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
         else:
             em = kc_v[:, 0:LANES]
 
-        sd = (diag + lp_step) + em
-        su = (up + lp_stay) + em
+        sd = (diag + lp_step_w) + em
+        su = (up + lp_stay_w) + em
         sl = left + LP_SKIP
         m2 = jnp.maximum(sd, su)
         m3 = jnp.maximum(m2, sl)
@@ -329,36 +335,58 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
             best_s_v = jnp.where(better, endsc, best_s_v)
             best_e_v = jnp.where(better, ei_end, best_e_v)
 
-        # band decision bit rides lane 127 (unused by the 100-wide band)
+        # band decision bit rides lane 127 (unused by the 100-wide band);
+        # r_i == right as int, so reuse the hoisted broadcast
         if "ftrace" not in _ABLATE:
-            tr = jnp.where(lanes == LANES - 1, r_i, tr)
+            tr = jnp.where(lanes == LANES - 1,
+                           right_b.astype(jnp.int32), tr)
 
         return tr, (cell, sp, ew_v, kmu_v, ksig_v, kc_v,
                     ll_e_new, r_i, best_s_v, best_e_v)
 
+    scratches = (s_prev, s_prev2, ew, kmu, ksig, kc,
+                 ll_e, r_prev, best_s, best_e)
+
+    def split_ctx(s):
+        a, b = s * Bs, (s + 1) * Bs
+        return (nev_ref[a:b, 0:1], nk_ref[a:b, 0:1],
+                jnp.broadcast_to(lps_ref[a:b, 0:1], (Bs, LANES)),
+                jnp.broadcast_to(lpt_ref[a:b, 0:1], (Bs, LANES)))
+
+    ctxs = tuple(split_ctx(s) for s in range(nsplit))
+
     def load_state():
-        return (s_prev[:], s_prev2[:], ew[:], kmu[:], ksig[:], kc[:],
-                ll_e[:], r_prev[:], best_s[:], best_e[:])
+        return tuple(
+            tuple(r[s * Bs:(s + 1) * Bs, :] for r in scratches)
+            for s in range(nsplit))
 
-    def store_state(st):
-        (s_prev[:], s_prev2[:], ew[:], kmu[:], ksig[:], kc[:],
-         ll_e[:], r_prev[:], best_s[:], best_e[:]) = st
+    def store_state(sts):
+        for s, st in enumerate(sts):
+            for r, v in zip(scratches, st):
+                r[s * Bs:(s + 1) * Bs, :] = v
 
-    def group(g, st, with_trim_end):
+    def group(g, sts, with_trim_end):
         """PACK bands, statically unrolled: parity and the 2-bit shift
         are Python constants, the packed trace accumulates in registers
         with one store per group, and the full DP state (score rows,
         windows, placement bookkeeping) flows band-to-band as loop-
-        carried values."""
+        carried values.  The nsplit sub-batches are independent DP
+        chains interleaved band-by-band so the scheduler can hide one
+        chain's op latency under the others' (the band loop is latency-
+        bound, not issue-bound — see PERF.md cost attribution)."""
         c0 = g * PACK
-        acc = jnp.zeros((B, LANES), jnp.int32)
+        sts = list(sts)
+        accs = [jnp.zeros((Bs, LANES), jnp.int32) for _ in range(nsplit)]
         for m in range(PACK):
             # bi0, g*PACK and PACK are all even, so rem(bi, 2) == m & 1
-            tr, st = band(bi0 + c0 + m, m & 1, with_trim_end, st)
-            if "ftrace" not in _ABLATE:
-                acc = acc | jnp.left_shift(tr, 2 * m)
-        trace_ref[g, :, :] = acc
-        return st
+            for s in range(nsplit):
+                tr, sts[s] = band(bi0 + c0 + m, m & 1, with_trim_end,
+                                  ctxs[s], sts[s])
+                if "ftrace" not in _ABLATE:
+                    accs[s] = accs[s] | jnp.left_shift(tr, 2 * m)
+        for s in range(nsplit):
+            trace_ref[g, s * Bs:(s + 1) * Bs, :] = accs[s]
+        return tuple(sts)
 
     full = need_trim | need_end
 
@@ -562,8 +590,13 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("Tp", "interpret"))
-def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False):
+def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False,
+               nsplit=None):
     B = evr.shape[0]
+    if nsplit is None:
+        nsplit = int(_os.environ.get("NPT_FILL_SPLIT", "2"))
+    while nsplit > 1 and B % (8 * nsplit):  # sublane-aligned sub-batches
+        nsplit //= 2
     Kp = tmu.shape[1] - 768
     n_steps = (Tp + Kp) // CHUNK
     out_shape = (
@@ -575,7 +608,7 @@ def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False):
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     fixed = pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fill_kernel, Tp=Tp),
+        functools.partial(_fill_kernel, Tp=Tp, nsplit=nsplit),
         grid=(n_steps,),
         in_specs=[full] * 4 + [fixed] * 4,
         out_specs=(
