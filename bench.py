@@ -35,7 +35,7 @@ EVENTS_PER_BASE = 2.0
 # so wider batches amortize it until vector work dominates (B=256
 # measured slower).  Inputs stay VMEM-resident under the raised scoped
 # limit (v5e: 128 MB physical).
-BATCH = int(os.environ.get("NPT_BENCH_BATCH", "128"))
+BATCH = int(os.environ.get("NPT_BENCH_BATCH", "256"))
 CPU_THREADS_BASELINE = 16
 CPU_SAMPLE_READS = 3
 

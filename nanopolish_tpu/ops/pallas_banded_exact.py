@@ -633,7 +633,7 @@ def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False,
         # the VMEM-resident inputs exceed the default 16 MB scoped limit
         # beyond B=64; v5e has 128 MB physical VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=(120 if B > 256 else 100) * 1024 * 1024),
         interpret=interpret,
     )(evr, tmu, tsig, tc, nev, nk, lps, lpt)
 
@@ -675,7 +675,7 @@ def _backtrack_call(trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok,
         [pltpu.VMEM((LANES, B), jnp.float32) for _ in range(4)] +
         [pltpu.VMEM((B, 256), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=(120 if B > 256 else 100) * 1024 * 1024),
         interpret=interpret,
     )(trace, evr, tmu, tsig, tc,
       jnp.transpose(nk), jnp.transpose(lle), jnp.transpose(best_e),
