@@ -47,6 +47,30 @@ def _kernel(case, x_ref, c_ref, o_ref):
         x, acc = st
         if case == "baseline":
             x = x + 1.0
+        elif case == "uroll2x256":
+            a = pltpu.roll(x, 1, 1)
+            b = pltpu.roll(x + 2.0, 1, 1)
+            x = a + b
+        elif case.startswith("uroll") and case != "uroll256":
+            w = int(case[5:])            # uroll128 / uroll512 / uroll1024
+            n = w // 256
+            if n >= 1:
+                y = jnp.concatenate([x] * n, axis=1)
+                y = pltpu.roll(y, 1, 1)
+                x = y[:, :256] + 1.0
+            else:
+                h = pltpu.roll(x[:, :w], 1, 1)
+                x = jnp.concatenate([h, x[:, w:]], axis=1) + 1.0
+        elif case == "fused1024":
+            # fused mega-window pattern: one roll + one per-lane mask
+            # select on 4x256 lanes (vs croll256 x 4)
+            r = (c + i) % 2 > 0
+            y = jnp.concatenate([x, x + 1, x + 2, x + 3], axis=1)
+            rw = jnp.broadcast_to(r, (B, 1024))
+            m = rw != (jax.lax.broadcasted_iota(
+                jnp.int32, (B, 1024), 1) >= 768)
+            y = jnp.where(m, pltpu.roll(y, 1, 1), y)
+            x = y[:, :256] + 1.0
         elif case == "croll256":
             r = (c + i) % 2 > 0
             rw = jnp.broadcast_to(r, (B, 256))
@@ -108,7 +132,9 @@ def run_case(case):
 
 def main():
     cases = sys.argv[1:] or ["baseline", "uroll256", "croll256", "croll128",
-                             "reduce", "extract2", "bcast"]
+                             "reduce", "extract2", "bcast", "uroll128",
+                             "uroll512", "uroll1024", "uroll2x256",
+                             "fused1024"]
     base = None
     for case in cases:
         ns = run_case(case)
