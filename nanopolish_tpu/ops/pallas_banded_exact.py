@@ -191,16 +191,19 @@ def _refill_windows(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
     def scalar_j0k(b):
         return 256 + jnp.minimum((bi0 - 3) - ll_e[b, 0], nk_ref[b, 0])
 
+    if "frefill" in _ABLATE:                 # perf attribution only
+        return
     for j0, scalar_j0, srcs in (
             (j0e, scalar_j0e, ((evr_ref, ew),)),
             (j0k, scalar_j0k, ((tmu_ref, kmu), (tsig_ref, ksig),
                                (tc_ref, kc)))):
         r_vec = j0 & 127
         for src_ref, w in srcs:
-            for b in range(B):
-                jb = scalar_j0(b)
-                ab = pl.multiple_of(jb - (jb & 127), 128)
-                stage[b, :] = src_ref[b, pl.ds(ab, 384)]
+            if "floads" not in _ABLATE:       # perf attribution only
+                for b in range(B):
+                    jb = scalar_j0(b)
+                    ab = pl.multiple_of(jb - (jb & 127), 128)
+                    stage[b, :] = src_ref[b, pl.ds(ab, 384)]
             w[:] = _align_left(stage[:], r_vec)[:, :WIN]
 
 
@@ -431,13 +434,19 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
                       rows_k_ref, rows_e_ref, sumem_ref, stats_ref,
                       cur_e, cur_k, ll_e, active, sum_em,
                       n_pairs, cur_gap, max_gap, last_ki, min_ev,
-                      es, kmu, ksig, kc, stage, Tp):
+                      es, kmu, ksig, kc, stage, Tp, nsplit):
     """Walk-replay backtrack, lane-major: the walk state lives in [1, B]
     rows (reads on the lane axis — every per-band scalar op is one vreg
     instead of the 16 a [B, 1] column costs), and the data streams live
     TRANSPOSED as [LANES, B] blocks rolled along sublanes, so the current
     element of each stream is the natural [1, B] row slice with no
-    per-band relayout."""
+    per-band relayout.
+
+    NPT_BT_SPLIT > 1 splits the B lanes into independent 128-lane walk
+    chains interleaved band-by-band.  Measured NEUTRAL at B=256 (164.3
+    vs 164.9 us/read full pipeline back-to-back): the [1,256] walk ops
+    already carry 2-vreg ILP and the per-band row-store concat eats the
+    rest.  Kept env-selectable (default 1), hardware-validated 256/256."""
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     B = cur_e.shape[1]
@@ -474,38 +483,46 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
              ((tmu_ref, kmu), (tsig_ref, ksig), (tc_ref, kc)))):
         r_row = j0_row & 127
         for src_ref, w in srcs:
-            for b in range(B):
-                jb = scalar_j0(b)
-                ab = pl.multiple_of(jb - (jb & 127), 128)
-                stage[b, :] = src_ref[b, pl.ds(ab, 256)]
-            w[:] = _align_up(jnp.transpose(stage[:]), r_row)[:LANES, :]
+            if "bloads" not in _ABLATE:       # perf attribution only
+                for b in range(B):
+                    jb = scalar_j0(b)
+                    ab = pl.multiple_of(jb - (jb & 127), 128)
+                    stage[b, :] = src_ref[b, pl.ds(ab, 256)]
+            if "balign" not in _ABLATE:       # perf attribution only
+                w[:] = _align_up(jnp.transpose(stage[:]), r_row)[:LANES, :]
 
     bi0 = 2 + (n_steps - 1 - i) * CHUNK
 
+    walk_scr = (cur_e, cur_k, ll_e, active, sum_em,
+                n_pairs, cur_gap, max_gap, last_ki, min_ev,
+                es, kmu, ksig, kc)
+    spans = [(s * (B // nsplit), (s + 1) * (B // nsplit))
+             for s in range(nsplit)]
+
     def load_walk():
-        return (cur_e[:], cur_k[:], ll_e[:], active[:], sum_em[:],
-                n_pairs[:], cur_gap[:], max_gap[:], last_ki[:], min_ev[:],
-                es[:], kmu[:], ksig[:], kc[:])
+        return tuple(tuple(r[:, a:b] for r in walk_scr) for a, b in spans)
 
-    def store_walk(st):
-        (cur_e[:], cur_k[:], ll_e[:], active[:], sum_em[:],
-         n_pairs[:], cur_gap[:], max_gap[:], last_ki[:], min_ev[:],
-         es[:], kmu[:], ksig[:], kc[:]) = st
+    def store_walk(sts):
+        for (a, b), st in zip(spans, sts):
+            for r, v in zip(walk_scr, st):
+                r[:, a:b] = v
 
-    def group(gg, st):
+    def group(gg, sts):
         g = (CHUNK // PACK - 1) - gg
-        packed = jnp.transpose(trace_ref[g, :, :])      # [LANES, B]
-        rbits = packed[LANES - 1:LANES, :]              # 16 decision bits
-        # Align the packed block to the walk: the visited offset's 2-bit
-        # codes live at row 0 for the whole group.  The offset moves by
-        # {-1,0,+1} per band, so alignment is maintained with one
-        # conditional roll; circular wraparound matches the mod-128
-        # arithmetic of `off & 127`, so pre-activation garbage offsets
-        # stay consistent and harmless (act is false there).
-        off0 = (st[2] - st[0]) & 127                    # ll_e - cur_e
-        pk0 = _align_up(packed, off0)
+        # Align each chain's packed block to its walk: the visited
+        # offset's 2-bit codes live at row 0 for the whole group.  The
+        # offset moves by {-1,0,+1} per band, so alignment is maintained
+        # with one conditional roll; circular wraparound matches the
+        # mod-128 arithmetic of `off & 127`, so pre-activation garbage
+        # offsets stay consistent and harmless (act is false there).
+        rbits_l, inits = [], []
+        for (a, b), st in zip(spans, sts):
+            packed = jnp.transpose(trace_ref[g, a:b, :])   # [LANES, Bsl]
+            rbits_l.append(packed[LANES - 1:LANES, :])     # decision bits
+            off0 = (st[2] - st[0]) & 127                   # ll_e - cur_e
+            inits.append((_align_up(packed, off0),) + st)
 
-        def band(mm, carry):
+        def band(mm, carry, rbits, span):
             (pk, cur_e_v, cur_k_v, ll_e_v, active_v, sum_em_v, n_pairs_v,
              cur_gap_v, max_gap_v, last_ki_v, min_ev_v,
              es_v, kmu_v, ksig_v, kc_v) = carry
@@ -548,9 +565,11 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
             # (squiggle_read.cpp:284-299)
             map_valid = act & ((~is_l) | terminates)
 
-            if "rows" not in _ABLATE:
-                rows_k_ref[c, :] = jnp.where(map_valid, cur_k_v, -1)[0, :]
-                rows_e_ref[c, :] = jnp.where(map_valid, cur_e_v, -1)[0, :]
+            # b2e rows are returned to band_all, which stores the
+            # chains' halves as ONE full-width row (Mosaic has no dynamic
+            # store at a nonzero lane offset)
+            rowk = jnp.where(map_valid, cur_k_v, -1)
+            rowe = jnp.where(map_valid, cur_e_v, -1)
 
             if "streams" not in _ABLATE:
                 # stream advances follow the walk
@@ -568,21 +587,36 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
             delta = dec_e - (1 - right)
             pk = jnp.where(delta == 1, _roll_up(pk), pk)
             pk = jnp.where(delta == -1, pltpu.roll(pk, 1, 0), pk)
-            return (pk, e_next, k_next, ll_e_v, active_v, sum_em_v,
-                    n_pairs_v, cur_gap_v, max_gap_v, last_ki_v, min_ev_v,
-                    es_v, kmu_v, ksig_v, kc_v)
+            return rowk, rowe, (
+                pk, e_next, k_next, ll_e_v, active_v, sum_em_v,
+                n_pairs_v, cur_gap_v, max_gap_v, last_ki_v, min_ev_v,
+                es_v, kmu_v, ksig_v, kc_v)
 
-        out = jax.lax.fori_loop(0, PACK, band, (pk0,) + st)
-        return out[1:]
+        def band_all(mm, carrys):
+            # the chains are independent: their ops interleave inside one
+            # loop iteration, hiding each other's latency
+            outs = [band(mm, carrys[s], rbits_l[s], spans[s])
+                    for s in range(nsplit)]
+            if "rows" not in _ABLATE:
+                c = g * PACK + (PACK - 1) - mm
+                rows_k_ref[c, :] = jnp.concatenate(
+                    [o[0] for o in outs], axis=1)[0, :]
+                rows_e_ref[c, :] = jnp.concatenate(
+                    [o[1] for o in outs], axis=1)[0, :]
+            return tuple(o[2] for o in outs)
 
-    st = jax.lax.fori_loop(0, CHUNK // PACK, group, load_walk())
-    store_walk(st)
+        outs = jax.lax.fori_loop(0, PACK, band_all, tuple(inits))
+        return tuple(o[1:] for o in outs)
 
-    sumem_ref[:] = st[4]
-    stats_ref[0:1, :] = st[5]
-    stats_ref[1:2, :] = st[7]
-    stats_ref[2:3, :] = st[8]
-    stats_ref[3:4, :] = st[9]
+    sts = jax.lax.fori_loop(0, CHUNK // PACK, group, load_walk())
+    store_walk(sts)
+
+    for (a, b), st in zip(spans, sts):
+        sumem_ref[:, a:b] = st[4]
+        stats_ref[0:1, a:b] = st[5]
+        stats_ref[1:2, a:b] = st[7]
+        stats_ref[2:3, a:b] = st[8]
+        stats_ref[3:4, a:b] = st[9]
 
 
 # ---------------------------------------------------------------------------
@@ -653,8 +687,13 @@ def _backtrack_call(trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok,
     fixed = pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM)
     rev3t = lambda i: (n_steps - 1 - i, 0, 0)
     rev2 = lambda i: (n_steps - 1 - i, 0)
+    # independent 128-lane walk chains (see _backtrack_kernel docstring);
+    # below 2x128 lanes there is nothing to split
+    nsplit = int(_os.environ.get("NPT_BT_SPLIT", "1"))
+    while nsplit > 1 and B % (128 * nsplit):
+        nsplit //= 2
     return pl.pallas_call(
-        functools.partial(_backtrack_kernel, Tp=Tp),
+        functools.partial(_backtrack_kernel, Tp=Tp, nsplit=nsplit),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((CHUNK // PACK, B, LANES), rev3t,

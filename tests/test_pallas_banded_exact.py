@@ -145,3 +145,28 @@ def test_exact_mixed_batch_tiny_and_long():
         np.testing.assert_array_equal(
             np.asarray(getattr(res, f)), np.asarray(getattr(ref, f)),
             err_msg=f)
+
+
+def test_exact_split_walk_chains_b256(monkeypatch):
+    """B=256 exercises the backtrack's two independent 128-lane walk
+    chains (NPT_BT_SPLIT=2, a measured-neutral but supported layout) and
+    the fill's sub-batch chains at the production batch size (small
+    reads keep interpret mode fast).  Verifies the per-read results
+    against the NumPy reference port on a spot-checked subset."""
+    monkeypatch.setenv("NPT_BT_SPLIT", "2")
+    B, K, T = 256, 60, 130
+    ev, mu, sigma = _synthetic(B, K, T, 2.1, seed=29, noise=1.5)
+    n_events = np.full(B, T, np.int32)
+    n_kmers = np.full(B, K, np.int32)
+    res = banded_align_exact(ev, n_events, mu, sigma, np.log(sigma),
+                             n_kmers, interpret=True)
+    for b in (0, 1, 127, 128, 129, 254, 255):   # straddle the chain seam
+        pairs, stats = banded_align_reference(
+            ev[b], mu[b], sigma[b], np.log(sigma[b]))
+        assert bool(res.failed[b]) == stats["failed"]
+        assert int(res.max_gap[b]) == stats["max_gap"]
+        if not stats["failed"]:
+            assert int(res.n_pairs[b]) == stats["n_pairs"]
+            b2e = base_to_event_map_from_pairs(pairs, K)
+            np.testing.assert_array_equal(res.b2e_start[b], b2e[:, 0])
+            np.testing.assert_array_equal(res.b2e_stop[b], b2e[:, 1])

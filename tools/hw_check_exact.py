@@ -26,7 +26,7 @@ def main():
     model = PoreModelSet.instance().get_model(
         "r9.4_450bps", "nucleotide", "template", 6)
     rng = np.random.default_rng(7)
-    B = 32
+    B = int(os.environ.get("NPT_HW_B", "32"))
     Kmax, Tmax = 2048, 4400
     n_kmers = rng.integers(40, Kmax, size=B).astype(np.int32)
     n_kmers[:4] = (Kmax, 45, 1800, 300)
