@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""End-to-end call-methylation throughput on one chip: build a synthetic
+CpG corpus (N reads x READ_LEN bases, one shape bucket so kernels compile
+once), run the real app (ingest -> banded event align -> HMM scoring ->
+TSV), and report sites/s and reads/s wall-clock.
+
+This measures the production pipeline the BASELINE sites/s metric
+scales, including host-side prep (event detection, scaling, BAM/SLOW5
+IO) — not just the kernels.  First run pays remote kernel compiles;
+the report separates a cold and a warm pass.
+
+Usage: python tools/perf_e2e_methylation.py
+Env: NPT_E2E_READS (default 64), NPT_E2E_READLEN (default 1800).
+"""
+
+import io
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("NPT_PLATFORM"):      # e.g. NPT_PLATFORM=cpu for smoke
+    import jax
+    jax.config.update("jax_platforms", os.environ["NPT_PLATFORM"])
+
+from nanopolish_tpu.apps import call_methylation as cm_app
+from nanopolish_tpu.apps import index as index_app
+from nanopolish_tpu.io.bam import BamRecord, BamWriter
+from nanopolish_tpu.io.slow5 import Slow5Writer
+from nanopolish_tpu.models.pore_model import PoreModelSet
+from nanopolish_tpu.models.squiggle import SquiggleScalings
+from nanopolish_tpu.utils.alphabet import DNA_ALPHABET, METHYL_CPG_ALPHABET
+from nanopolish_tpu.utils.synthetic import random_sequence, synthetic_raw_signal
+
+N_READS = int(os.environ.get("NPT_E2E_READS", "64"))
+READ_LEN = int(os.environ.get("NPT_E2E_READLEN", "1800"))
+
+
+def build_corpus(d):
+    rng = np.random.default_rng(17)
+    pms = PoreModelSet.instance()
+    nuc_model = pms.get_model("r9.4_450bps", "nucleotide", "template", 6)
+    cpg_model = pms.get_model("r9.4_450bps", "cpg", "template", 6)
+
+    genome_len = READ_LEN + 200 * (N_READS + 1)
+    genome = random_sequence(rng, genome_len)
+    ref_fa = os.path.join(d, "ref.fa")
+    with open(ref_fa, "w") as fh:
+        fh.write(">tig1\n")
+        for i in range(0, genome_len, 60):
+            fh.write(genome[i:i + 60] + "\n")
+
+    plan = []
+    for i in range(N_READS):
+        plan.append((f"r{i:04d}", 200 * i, bool(i % 3 == 1), bool(i % 2)))
+
+    fastq = os.path.join(d, "reads.fastq")
+    slow5 = os.path.join(d, "sig.slow5")
+    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+        for name, pos, is_rev, is_meth in plan:
+            seg = genome[pos:pos + READ_LEN]
+            basecall = DNA_ALPHABET.reverse_complement(seg) if is_rev else seg
+            fq.write(f"@{name}\n{basecall}\n+\n{'I' * READ_LEN}\n")
+            sc = SquiggleScalings.from4(0.0, 1.0, 0.0, 1.0)
+            model = cpg_model if is_meth else nuc_model
+            sig_seq = (METHYL_CPG_ALPHABET.methylate(basecall)
+                       if is_meth else basecall)
+            pa = synthetic_raw_signal(rng, sig_seq, model, sc,
+                                      samples_per_base=10.0, leader=500,
+                                      trailer=100)
+            adc = np.clip(pa * 8192.0 / 1400.0, -32000, 32000).astype(np.int16)
+            sw.write(name, adc, 8192.0, 0.0, 1400.0, 4000.0)
+
+    index_app.main([fastq, "--slow5", slow5])
+
+    bam = os.path.join(d, "aln.bam")
+    w = BamWriter(bam, "@HD\tVN:1.6\tSO:coordinate\n", ["tig1"], [genome_len])
+    for name, pos, is_rev, _ in sorted(plan, key=lambda t: t[1]):
+        seg = genome[pos:pos + READ_LEN]
+        w.write(BamRecord(qname=name, flag=16 if is_rev else 0, tid=0,
+                          pos=pos, mapq=60, cigar=[(0, READ_LEN)], seq=seg,
+                          qual=np.full(READ_LEN, 30, np.uint8)))
+    w.close()
+    return fastq, bam, ref_fa
+
+
+def run_once(fastq, bam, ref_fa):
+    out = io.StringIO()
+    t0 = time.perf_counter()
+    cm_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-q", "cpg"],
+                stdout=out)
+    dt = time.perf_counter() - t0
+    lines = [l for l in out.getvalue().splitlines() if l and
+             not l.startswith("chromosome\t")]
+    return dt, len(lines)
+
+
+def main():
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.perf_counter()
+        fastq, bam, ref_fa = build_corpus(d)
+        print(f"corpus: {N_READS} reads x {READ_LEN}b in "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+        cold_s, n_sites = run_once(fastq, bam, ref_fa)
+        print(json.dumps({"pass": "cold", "reads": N_READS,
+                          "sites": n_sites, "s": round(cold_s, 1),
+                          "sites_per_s": round(n_sites / cold_s, 1),
+                          "reads_per_s": round(N_READS / cold_s, 2)}),
+              flush=True)
+        warm_s, n_sites = run_once(fastq, bam, ref_fa)
+        print(json.dumps({"pass": "warm", "reads": N_READS,
+                          "sites": n_sites, "s": round(warm_s, 1),
+                          "sites_per_s": round(n_sites / warm_s, 1),
+                          "reads_per_s": round(N_READS / warm_s, 2)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
