@@ -168,7 +168,8 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
                              indel_bias: float) -> np.ndarray:
     """TPU fast path: one Pallas kernel shape per power-of-two event
     length, mixed clip flags share a compile (ops/pallas_profile_hmm)."""
-    from ..ops.pallas_profile_hmm import profile_hmm_forward_pallas
+    from ..ops.pallas_profile_hmm import (_pack_hmm_inputs,
+                                          _profile_hmm_forward_call_packed)
     from ..utils.profiler import profile_scope
 
     out = np.zeros(len(segments), np.float32)
@@ -178,6 +179,11 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
         while tp < len(s.levels):
             tp *= 2
         buckets.setdefault(tp, []).append(i)
+    # two passes: DISPATCH every bucket chunk first (jax dispatch is
+    # async, so the kernels and their d2h transfers pipeline), then
+    # materialize — on remotely-attached chips each sync costs a full
+    # relay round trip, which serialized syncs would pay per chunk
+    pending = []
     for tp, idxs in buckets.items():
         for lo in range(0, len(idxs), 512):
             chunk = idxs[lo:lo + 512]
@@ -200,12 +206,16 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
                 n_kmers[bi] = nk
                 epb[bi] = s.events_per_base
                 flags[bi] = s.flags
-            with profile_scope("segments.forward_pallas"):
-                lp = profile_hmm_forward_pallas(
+            with profile_scope("segments.forward_pallas_dispatch"):
+                packed, TP, B0, _, _ = _pack_hmm_inputs(
                     levels, n_events, mu, sigma,
                     np.log(np.maximum(sigma, 1e-30)), n_kmers, epb, flags,
                     indel_bias)
-            out[np.asarray(chunk)] = lp
+                dev = _profile_hmm_forward_call_packed(packed, TP)
+            pending.append((chunk, dev, B0))
+    for chunk, dev, B0 in pending:
+        with profile_scope("segments.forward_pallas_sync"):
+            out[np.asarray(chunk)] = np.asarray(dev)[:B0, 0]
     return out
 
 

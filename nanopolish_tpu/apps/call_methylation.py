@@ -88,6 +88,9 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
     segments: List[HMMSegment] = []
     metas = []
     alphabet = params.alphabet
+    # vectorized full-match scan (same positions as the per-i
+    # is_motif_match loop); ref_seq is strand-independent, scan once
+    motif_sites_all = alphabet.motif_positions(ref_seq).tolist()
     for strand_idx in (0, 1):
         if not sr.has_events_for_strand(strand_idx):
             continue
@@ -104,8 +107,7 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
         if event_record.aligned_events.shape[0] == 0:
             continue
 
-        motif_sites = [i for i in range(len(ref_seq) - 1)
-                       if alphabet.is_motif_match(ref_seq, i)]
+        motif_sites = motif_sites_all
         for start_idx, end_idx in motif_groups(motif_sites,
                                                params.min_separation):
             sub_start_pos = motif_sites[start_idx] - params.min_flank

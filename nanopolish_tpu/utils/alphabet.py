@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .iupac import IUPAC_POSSIBLE
+from .iupac import IUPAC_POSSIBLE, UNAMBIGUOUS
 
 METHYLATED_SYMBOL = "M"
 
@@ -79,6 +79,12 @@ class Alphabet:
         for r, b in enumerate(self.bases):
             lut[ord(b)] = r
         object.__setattr__(self, "_rank_lut", lut)
+        # byte translation table mirroring complements[_rank_lut[c]] for
+        # every input byte — the exact per-char complement map, C-speed
+        comp = bytes(ord(self.complements[lut[c]]) for c in range(256))
+        object.__setattr__(self, "_comp_table", comp)
+
+    _comp_table: bytes = field(init=False, repr=False, compare=False)
 
     # --- basic ---------------------------------------------------------
     @property
@@ -153,8 +159,13 @@ class Alphabet:
 
     # --- methylation-aware string ops ------------------------------------
     def reverse_complement(self, s: str) -> str:
-        if not self.recognition_sites:
-            return "".join(self.complements[self._rank_lut[ord(c)]] for c in reversed(s))
+        if not self.recognition_sites or METHYLATED_SYMBOL not in s:
+            # the site-preserving branch below only diverges from the
+            # plain per-char complement when a match COVERS a methylated
+            # symbol in s, so an M-free string takes the byte-translate
+            # fast path (exact same complements[_rank_lut[c]] map)
+            return s.encode("latin-1").translate(
+                self._comp_table)[::-1].decode("latin-1")
         out = ["A"] * len(s)
         i = 0
         j = len(s) - 1
@@ -183,15 +194,23 @@ class Alphabet:
     def disambiguate(self, s: str) -> str:
         """Uppercase + replace IUPAC ambiguity codes by their first symbol,
         leaving methylated recognition sites intact."""
-        out = list(s.upper())
+        su = s.upper()
+        # pure-base fast path: every char maps to itself whether or not
+        # it sits in a recognition site
+        if not (set(su) - UNAMBIGUOUS):
+            return su
+        out = list(su)
         i = 0
         n = len(out)
         while i < n:
             stride = 1
             is_site = False
-            cur = "".join(out)
+            # matching inspects positions >= i only (plus the i==0
+            # whole-string branch), which out never modifies before
+            # reaching them — so match against the unmodified string
+            # instead of re-joining out every position
             for site_m in self.recognition_sites_methylated:
-                m = _match_to_site(cur, i, site_m)
+                m = _match_to_site(su, i, site_m)
                 if m.length > 0:
                     stride = m.length
                     is_site = True
@@ -203,20 +222,38 @@ class Alphabet:
         return "".join(out)
 
     def methylate(self, s: str) -> str:
-        """Replace fully-matched recognition sites by their methylated version."""
-        out = list(s)
+        """Replace fully-matched recognition sites by their methylated
+        version (left-to-right, skipping the site length on a match —
+        the scan of the original loop, vectorized: full matches are
+        found against the ORIGINAL string with a windowed compare, then
+        applied greedily)."""
         rl = self.recognition_length
-        i = 0
-        n = len(out)
-        while i < n:
-            stride = 1
-            for j, site in enumerate(self.recognition_sites):
-                m = _match_to_site(s, i, site)
-                if m.length == rl:
-                    out[i : i + rl] = self.recognition_sites_methylated[j]
-                    stride = m.length
-                    break
-            i += stride
+        if rl == 0 or len(s) < rl:
+            return s
+        if len(self.recognition_sites) == 1:
+            site = self.recognition_sites[0]
+            # str.replace scans left-to-right and skips the match length,
+            # which equals the original loop's greedy stride when the
+            # site cannot overlap itself (no proper prefix == suffix)
+            if not any(site[:i] == site[-i:] for i in range(1, rl)):
+                return s.replace(site, self.recognition_sites_methylated[0])
+        raw = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(raw, rl)
+        site_idx = np.full(win.shape[0], -1, np.int32)
+        for j in reversed(range(len(self.recognition_sites))):
+            pat = np.frombuffer(self.recognition_sites[j].encode("ascii"),
+                                dtype=np.uint8)
+            site_idx = np.where((win == pat).all(axis=1), j, site_idx)
+        pos = np.nonzero(site_idx >= 0)[0]
+        if pos.size == 0:
+            return s
+        out = list(s)
+        nxt = 0
+        for p in pos.tolist():
+            if p < nxt:
+                continue
+            out[p:p + rl] = self.recognition_sites_methylated[int(site_idx[p])]
+            nxt = p + rl
         return "".join(out)
 
     def unmethylate(self, s: str) -> str:

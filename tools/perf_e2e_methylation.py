@@ -113,7 +113,17 @@ def main():
                           "sites_per_s": round(n_sites / cold_s, 1),
                           "reads_per_s": round(N_READS / cold_s, 2)}),
               flush=True)
-        warm_s, n_sites = run_once(fastq, bam, ref_fa)
+        if os.environ.get("NPT_E2E_PROFILE"):
+            import cProfile
+            import pstats
+            pr = cProfile.Profile()
+            pr.enable()
+            warm_s, n_sites = run_once(fastq, bam, ref_fa)
+            pr.disable()
+            pstats.Stats(pr, stream=sys.stderr).sort_stats(
+                "cumulative").print_stats(35)
+        else:
+            warm_s, n_sites = run_once(fastq, bam, ref_fa)
         print(json.dumps({"pass": "warm", "reads": N_READS,
                           "sites": n_sites, "s": round(warm_s, 1),
                           "sites_per_s": round(n_sites / warm_s, 1),
