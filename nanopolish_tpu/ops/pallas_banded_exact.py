@@ -772,6 +772,42 @@ def _exact_align_device(evr, tmu, tsig, tc, nev, nk, lps, lpt,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("Tp", "K0", "interpret"))
+def _exact_align_device_packed(evr, tmu, tsig, tc, nev, nk, lps, lpt,
+                               Tp, K0, interpret=False):
+    """One int32 [B, 2*K0+6] wire array holding the whole result —
+    a single device->host transfer per sub-batch (each transfer costs a
+    relay round trip on remotely-attached chips)."""
+    r = _exact_align_device(evr, tmu, tsig, tc, nev, nk, lps, lpt,
+                            Tp, K0, interpret=interpret)
+    fbits = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
+        x.astype(jnp.float32), jnp.int32)
+    return jnp.concatenate([
+        r.b2e_start, r.b2e_stop,
+        r.failed.astype(jnp.int32)[:, None],
+        fbits(r.avg_log_emission)[:, None],
+        r.spanned.astype(jnp.int32)[:, None],
+        r.max_gap[:, None],
+        fbits(r.events_per_base)[:, None],
+        r.n_pairs[:, None],
+    ], axis=1)
+
+
+def _unpack_result(arr, K0):
+    """Host-side inverse of _exact_align_device_packed (np arrays)."""
+    arr = np.asarray(arr)
+    t = np.ascontiguousarray(arr[:, 2 * K0:])
+    return BandedAlignResult(
+        b2e_start=arr[:, :K0],
+        b2e_stop=arr[:, K0:2 * K0],
+        failed=t[:, 0].astype(bool),
+        avg_log_emission=t[:, 1].copy().view(np.float32),
+        spanned=t[:, 2].astype(bool),
+        max_gap=t[:, 3],
+        events_per_base=t[:, 4].copy().view(np.float32),
+        n_pairs=t[:, 5])
+
+
 def _pad_batch(n, lo=8):
     p = lo
     while p < n:
@@ -806,7 +842,10 @@ def banded_align_exact(event_mean, n_events, mu, sigma, log_sigma, n_kmers,
     bytes_per_read = 4 * ((_pad_to(T0, CHUNK) + 768)
                           + 3 * (_pad_to(K0w, CHUNK) + 768))
     bmax = max(8, min(256, int(70e6 // max(bytes_per_read, 1)) // 8 * 8))
-    outs = []
+    # two passes: dispatch every sub-batch (async), then materialize each
+    # as ONE packed transfer — serialized per-field syncs would pay a
+    # relay round trip per array
+    pending = []
     for lo in range(0, B, bmax):
         hi = min(lo + bmax, B)
         Bc = _pad_batch(hi - lo)
@@ -824,14 +863,16 @@ def banded_align_exact(event_mean, n_events, mu, sigma, log_sigma, n_kmers,
             padded(event_mean[sl]), padded(n_events[sl], 1),
             padded(mu[sl]), padded(sigma[sl], 1.0), padded(log_sigma[sl]),
             padded(n_kmers[sl], 2))
-        res = _exact_align_device(
+        dev = _exact_align_device_packed(
             prep["evr"], prep["tmu"], prep["tsig"], prep["tc"],
             prep["nev"], prep["nk"], padded(lp_stay[sl]), padded(lp_step[sl]),
             prep["Tp"], prep["K0"], interpret=interpret)
-        if pad:
-            res = BandedAlignResult(*(v[:hi - lo] for v in res))
-        outs.append(res)
+        pending.append((dev, prep["K0"], hi - lo))
+    outs = []
+    for dev, K0c, n in pending:
+        res = _unpack_result(dev, K0c)
+        outs.append(BandedAlignResult(*(v[:n] for v in res)))
     if len(outs) == 1:
         return outs[0]
-    return BandedAlignResult(*(jnp.concatenate(vs, axis=0)
+    return BandedAlignResult(*(np.concatenate(vs, axis=0)
                                for vs in zip(*outs)))
