@@ -76,10 +76,15 @@ def _bucket_indices(segments: Sequence[HMMSegment], tq: int, kq: int):
 def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
                              indel_bias: float):
     """TPU fast path (ops/pallas_profile_hmm): one compiled shape per
-    power-of-two event length; clip flags are runtime inputs."""
-    from ..ops.pallas_profile_hmm import profile_hmm_viterbi_pallas
+    power-of-two event length; clip flags are runtime inputs.  All
+    chunks are dispatched before any is materialized (each sync costs a
+    relay round trip on remotely-attached chips)."""
+    from ..ops.pallas_profile_hmm import (_expand_backtrack,
+                                          _pack_hmm_inputs,
+                                          _profile_hmm_viterbi_call_packed)
 
     results: List[Optional[Tuple]] = [None] * len(segments)
+    pending = []
     buckets = {}
     for i, s in enumerate(segments):
         tp = 256
@@ -108,12 +113,17 @@ def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
                 n_kmers[bi] = nk
                 epb[bi] = s.events_per_base
                 flags[bi] = s.flags
-            backs = profile_hmm_viterbi_pallas(
+            packed, TP, B0, nev, nk = _pack_hmm_inputs(
                 levels, n_events, mu, sigma,
                 np.log(np.maximum(sigma, 1e-30)), n_kmers, epb, flags,
                 indel_bias)
-            for bi, si in enumerate(chunk):
-                results[si] = backs[bi]
+            ke, meta = _profile_hmm_viterbi_call_packed(packed, TP)
+            pending.append((chunk, ke, meta, nev, nk, B0))
+    for chunk, ke, meta, nev, nk, B0 in pending:
+        backs = _expand_backtrack(np.asarray(ke), np.asarray(meta),
+                                  nev, nk)[:B0]
+        for bi, si in enumerate(chunk):
+            results[si] = backs[bi]
     return results
 
 
