@@ -30,6 +30,17 @@ from .iupac import IUPAC_POSSIBLE, UNAMBIGUOUS
 
 METHYLATED_SYMBOL = "M"
 
+_POWERS_CACHE: Dict[Tuple[int, int], np.ndarray] = {}
+
+
+def _rank_powers(size: int, k: int) -> np.ndarray:
+    key = (size, k)
+    p = _POWERS_CACHE.get(key)
+    if p is None:
+        p = size ** np.arange(k - 1, -1, -1, dtype=np.int64)
+        _POWERS_CACHE[key] = p
+    return p
+
 
 @dataclass(frozen=True)
 class RecognitionMatch:
@@ -128,7 +139,7 @@ class Alphabet:
         n = len(seq) - k + 1
         if n <= 0:
             return np.zeros((0,), dtype=np.int32)
-        powers = self.size ** np.arange(k - 1, -1, -1, dtype=np.int64)
+        powers = _rank_powers(self.size, k)
         windows = np.lib.stride_tricks.sliding_window_view(base_ranks, k)
         return (windows @ powers).astype(np.int32)
 
@@ -166,6 +177,46 @@ class Alphabet:
             # fast path (exact same complements[_rank_lut[c]] map)
             return s.encode("latin-1").translate(
                 self._comp_table)[::-1].decode("latin-1")
+        n = len(s)
+        rl = self.recognition_length
+        if n > 2 * rl:
+            # vectorized equivalent of the scan below: away from the
+            # string tail a site match must be FULL (cl == rl) and a
+            # full match of a methylated pattern always covers its M, so
+            # the walk is: greedy left-to-right full matches (patched
+            # over a byte-translate complement), then the original
+            # partial-match scan over the last rl-1 positions
+            pre = bytearray(s.encode("latin-1").translate(self._comp_table))
+            raw = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+            win = np.lib.stride_tricks.sliding_window_view(raw, rl)
+            site_idx = np.full(win.shape[0], -1, np.int32)
+            sites_m = self.recognition_sites_methylated
+            for j in reversed(range(len(sites_m))):
+                pat = np.frombuffer(sites_m[j].encode("ascii"),
+                                    dtype=np.uint8)
+                site_idx = np.where((win == pat).all(axis=1), j, site_idx)
+            nxt = 0
+            for p in np.nonzero(site_idx >= 0)[0].tolist():
+                if p < nxt:
+                    continue
+                comp_site = self.recognition_sites_methylated_complement[
+                    int(site_idx[p])]
+                pre[p:p + rl] = comp_site.encode("latin-1")
+                nxt = p + rl
+            i = max(nxt, n - rl + 1)
+            while i < n:
+                stride = 1
+                for kk, site_m in enumerate(sites_m):
+                    cl = n - i
+                    if s[i:i + cl] == site_m[:cl] and \
+                            METHYLATED_SYMBOL in s[i:i + cl]:
+                        comp_site = \
+                            self.recognition_sites_methylated_complement[kk]
+                        pre[i:i + cl] = comp_site[:cl].encode("latin-1")
+                        stride = cl
+                        break
+                i += stride
+            return bytes(pre)[::-1].decode("latin-1")
         out = ["A"] * len(s)
         i = 0
         j = len(s) - 1

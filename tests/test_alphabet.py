@@ -259,3 +259,47 @@ def test_best_alphabet():
     assert get_alphabet_by_name("dam").name == "dam"
     with pytest.raises(KeyError):
         get_alphabet_by_name("nope")
+
+
+def test_reverse_complement_vectorized_matches_scan():
+    """The vectorized M-containing reverse_complement (greedy full-match
+    patches + tail scan) must byte-match the original per-position scan
+    (nanopolish_alphabet.h:118-150 semantics) on random methylated
+    sequences across all methylation alphabets."""
+    from nanopolish_tpu.utils.alphabet import ALPHABETS, _match_to_site
+
+    def scan_rc(alpha, s):
+        out = ["A"] * len(s)
+        i = 0
+        j = len(s) - 1
+        while i < len(s):
+            ridx = -1
+            match = None
+            for kk, site_m in enumerate(alpha.recognition_sites_methylated):
+                m = _match_to_site(s, i, site_m)
+                if m.length > 0 and m.covers_methylated_site:
+                    ridx = kk
+                    match = m
+                    break
+            if ridx != -1:
+                comp_site = alpha.recognition_sites_methylated_complement[ridx]
+                for kk in range(match.offset, match.offset + match.length):
+                    out[j] = comp_site[kk]
+                    j -= 1
+                    i += 1
+            else:
+                out[j] = alpha.complement(s[i])
+                j -= 1
+                i += 1
+        return "".join(out)
+
+    rng = np.random.default_rng(5)
+    for alpha in ALPHABETS.values():
+        if not alpha.recognition_sites:
+            continue
+        for trial in range(40):
+            n = int(rng.integers(1, 80))
+            s = "".join(rng.choice(list("ACGT"), size=n))
+            s = alpha.methylate(s)
+            assert alpha.reverse_complement(s) == scan_rc(alpha, s), \
+                (alpha.name, s)
