@@ -178,6 +178,8 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
                              indel_bias: float) -> np.ndarray:
     """TPU fast path: one Pallas kernel shape per power-of-two event
     length, mixed clip flags share a compile (ops/pallas_profile_hmm)."""
+    import jax.numpy as jnp
+
     from ..ops.pallas_profile_hmm import (_pack_hmm_inputs,
                                           _profile_hmm_forward_call_packed)
     from ..utils.profiler import profile_scope
@@ -223,9 +225,18 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
                     indel_bias)
                 dev = _profile_hmm_forward_call_packed(packed, TP)
             pending.append((chunk, dev, B0))
-    for chunk, dev, B0 in pending:
-        with profile_scope("segments.forward_pallas_sync"):
-            out[np.asarray(chunk)] = np.asarray(dev)[:B0, 0]
+    if not pending:
+        return out
+    # ONE device->host fetch for the whole batch: concatenate the chunk
+    # results on device first (each separate materialization pays a full
+    # relay round trip even when the dispatches were pipelined)
+    with profile_scope("segments.forward_pallas_sync"):
+        flat = np.asarray(jnp.concatenate(
+            [dev[:B0, 0] for chunk, dev, B0 in pending]))
+    off = 0
+    for chunk, _dev, B0 in pending:
+        out[np.asarray(chunk)] = flat[off:off + B0]
+        off += B0
     return out
 
 
