@@ -39,21 +39,33 @@ class HMMSegment:
     flags: int = 0
 
 
-def make_segment(read: SquiggleRead, strand: int, ranks: np.ndarray,
-                 event_start: int, event_stop: int, model=None,
-                 flags: int = 0) -> HMMSegment:
-    """Build a segment from a read's event range [start..stop] (either
-    direction) and a window's kmer ranks."""
-    if model is None:
-        model = read.base_model[strand]
+def segment_levels(read: SquiggleRead, strand: int,
+                   event_start: int, event_stop: int) -> np.ndarray:
+    """Drift-corrected event levels over [start..stop] (either
+    direction) — shared by every segment scoring the same event range
+    (e.g. a group's unmethylated/methylated pair)."""
     s = read.scalings[strand]
     stride = 1 if event_stop >= event_start else -1
     idx = np.arange(event_start, event_stop + stride, stride)
     ev = read.events[strand]
     levels = ev.mean[idx] - (ev.start_time[idx] - ev.start_time[0]) * s.drift
+    return np.asarray(levels, np.float32)
+
+
+def make_segment(read: SquiggleRead, strand: int, ranks: np.ndarray,
+                 event_start: int, event_stop: int, model=None,
+                 flags: int = 0, levels: Optional[np.ndarray] = None
+                 ) -> HMMSegment:
+    """Build a segment from a read's event range [start..stop] (either
+    direction) and a window's kmer ranks."""
+    if model is None:
+        model = read.base_model[strand]
+    s = read.scalings[strand]
+    if levels is None:
+        levels = segment_levels(read, strand, event_start, event_stop)
     mu = s.scale * model.level_mean[ranks] + s.shift
     sigma = model.level_stdv[ranks] * s.var
-    return HMMSegment(levels=np.asarray(levels, np.float32),
+    return HMMSegment(levels=levels,
                       mu=np.asarray(mu, np.float32),
                       sigma=np.asarray(sigma, np.float32),
                       events_per_base=float(read.events_per_base[strand]),

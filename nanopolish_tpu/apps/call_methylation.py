@@ -23,7 +23,8 @@ import numpy as np
 
 from ..alignment.records import (MAX_EVENT_TO_BP_RATIO, EventAlignmentRecord,
                                  SequenceAlignmentRecord, find_by_ref_bounds)
-from ..alignment.segments import HMMSegment, forward_segments, make_segment
+from ..alignment.segments import (HMMSegment, forward_segments,
+                                  make_segment, segment_levels)
 from ..io.fasta import FastaIndex
 from ..io.readdb import ReadDB
 from ..models.hmm_input import HMMInputSequence
@@ -91,6 +92,14 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
     # vectorized full-match scan (same positions as the per-i
     # is_motif_match loop); ref_seq is strand-independent, scan once
     motif_sites_all = alphabet.motif_positions(ref_seq).tolist()
+    # the UNMETHYLATED subsequences are plain slices of ref_seq, so
+    # their reverse-complements and kmer ranks are slices of these
+    # once-per-read arrays (ranks of a slice == slice of ranks; ref_seq
+    # carries no M so rc is position-mirrored): computed lazily per k
+    n_ref = len(ref_seq)
+    rc_ref = alphabet.reverse_complement(ref_seq)
+    ref_ranks: Dict[int, np.ndarray] = {}
+    rc_ref_ranks: Dict[int, np.ndarray] = {}
     for strand_idx in (0, 1):
         if not sr.has_events_for_strand(strand_idx):
             continue
@@ -118,7 +127,7 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
             if sub_end_pos >= len(ref_seq):
                 continue
             subseq = ref_seq[sub_start_pos:sub_end_pos + 1]
-            rc_subseq = alphabet.reverse_complement(subseq)
+            rc_subseq = rc_ref[n_ref - 1 - sub_end_pos:n_ref - sub_start_pos]
             calling_start = sub_start_pos + ref_start_pos
             calling_end = sub_end_pos + ref_start_pos
 
@@ -139,16 +148,27 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
                 continue
 
             unmeth = HMMInputSequence(subseq, rc_subseq, alphabet)
+            if k not in ref_ranks:
+                ref_ranks[k] = alphabet.seq_to_kmer_ranks(ref_seq, k)
+                rc_ref_ranks[k] = alphabet.seq_to_kmer_ranks(rc_ref, k)
+            nk_sub = sub_end_pos + 1 - sub_start_pos - k + 1
+            unmeth._rank_cache[(k, False)] = \
+                ref_ranks[k][sub_start_pos:sub_start_pos + nk_sub]
+            s0 = n_ref - 1 - sub_end_pos
+            unmeth._rank_cache[(k, True)] = \
+                rc_ref_ranks[k][s0:s0 + nk_sub][::-1].copy()
             m_subseq = alphabet.methylate(subseq)
             meth = HMMInputSequence(m_subseq,
                                     alphabet.reverse_complement(m_subseq),
                                     alphabet)
             rc = event_record.rc
+            levels = segment_levels(sr, strand_idx, e1, e2)
             for hs in (unmeth, meth):
                 ranks = hs.kmer_ranks(k, rc)
                 segments.append(make_segment(sr, strand_idx, ranks, e1, e2,
                                              model=meth_model,
-                                             flags=HMM_FLAGS))
+                                             flags=HMM_FLAGS,
+                                             levels=levels))
             site_output_start = motif_sites[start_idx] - k + 1
             site_output_end = motif_sites[end_idx - 1] + k
             metas.append({

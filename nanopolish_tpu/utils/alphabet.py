@@ -187,22 +187,35 @@ class Alphabet:
             # over a byte-translate complement), then the original
             # partial-match scan over the last rl-1 positions
             pre = bytearray(s.encode("latin-1").translate(self._comp_table))
-            raw = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
-            win = np.lib.stride_tricks.sliding_window_view(raw, rl)
-            site_idx = np.full(win.shape[0], -1, np.int32)
             sites_m = self.recognition_sites_methylated
-            for j in reversed(range(len(sites_m))):
-                pat = np.frombuffer(sites_m[j].encode("ascii"),
-                                    dtype=np.uint8)
-                site_idx = np.where((win == pat).all(axis=1), j, site_idx)
-            nxt = 0
-            for p in np.nonzero(site_idx >= 0)[0].tolist():
-                if p < nxt:
-                    continue
-                comp_site = self.recognition_sites_methylated_complement[
-                    int(site_idx[p])]
-                pre[p:p + rl] = comp_site.encode("latin-1")
-                nxt = p + rl
+            if len(sites_m) == 1:
+                # single-pattern greedy scan via str.find (C speed; the
+                # start=p+rl restart is exactly the loop's stride)
+                site_m = sites_m[0]
+                comp = self.recognition_sites_methylated_complement[0] \
+                    .encode("latin-1")
+                p = s.find(site_m)
+                nxt = 0
+                while p != -1 and p <= n - rl:
+                    pre[p:p + rl] = comp
+                    nxt = p + rl
+                    p = s.find(site_m, nxt)
+            else:
+                raw = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                win = np.lib.stride_tricks.sliding_window_view(raw, rl)
+                site_idx = np.full(win.shape[0], -1, np.int32)
+                for j in reversed(range(len(sites_m))):
+                    pat = np.frombuffer(sites_m[j].encode("ascii"),
+                                        dtype=np.uint8)
+                    site_idx = np.where((win == pat).all(axis=1), j, site_idx)
+                nxt = 0
+                for p in np.nonzero(site_idx >= 0)[0].tolist():
+                    if p < nxt:
+                        continue
+                    comp_site = self.recognition_sites_methylated_complement[
+                        int(site_idx[p])]
+                    pre[p:p + rl] = comp_site.encode("latin-1")
+                    nxt = p + rl
             i = max(nxt, n - rl + 1)
             while i < n:
                 stride = 1
