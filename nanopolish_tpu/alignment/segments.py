@@ -91,6 +91,8 @@ def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
     power-of-two event length; clip flags are runtime inputs.  All
     chunks are dispatched before any is materialized (each sync costs a
     relay round trip on remotely-attached chips)."""
+    import jax.numpy as jnp
+
     from ..ops.pallas_profile_hmm import (_expand_backtrack,
                                           _pack_hmm_inputs,
                                           _profile_hmm_viterbi_call_packed)
@@ -130,10 +132,20 @@ def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
                 np.log(np.maximum(sigma, 1e-30)), n_kmers, epb, flags,
                 indel_bias)
             ke, meta = _profile_hmm_viterbi_call_packed(packed, TP)
-            pending.append((chunk, ke, meta, nev, nk, B0))
-    for chunk, ke, meta, nev, nk, B0 in pending:
-        backs = _expand_backtrack(np.asarray(ke), np.asarray(meta),
-                                  nev, nk)[:B0]
+            pending.append((chunk, ke.shape, jnp.concatenate(
+                [ke.reshape(-1), meta.reshape(-1)]), nev, nk, B0))
+    if not pending:
+        return results
+    # ONE device->host fetch for all chunks (each materialization pays a
+    # relay round trip even when the dispatches were pipelined)
+    flat = np.asarray(jnp.concatenate([p[2] for p in pending]))
+    off = 0
+    for chunk, shape, _dev, nev, nk, B0 in pending:
+        sz = shape[0] * shape[1]
+        ke = flat[off:off + sz].reshape(shape)
+        meta = flat[off + sz:off + 2 * sz].reshape(shape)
+        off += 2 * sz
+        backs = _expand_backtrack(ke, meta, nev, nk)[:B0]
         for bi, si in enumerate(chunk):
             results[si] = backs[bi]
     return results

@@ -41,46 +41,82 @@ def emit_tsv_header(fp: TextIO, print_read_names: bool,
     fp.write("\n")
 
 
+_KMER_RANK_CACHE: dict = {}
+
+
 def emit_event_alignment_tsv(fp: TextIO, sr: SquiggleRead, strand_idx: int,
                              alignments: List[EventAlignment],
                              print_read_names: bool, scale_events: bool,
                              write_signal_index: bool, write_samples: bool):
-    """eventalign.cpp:398-484 with identical printf formats."""
+    """eventalign.cpp:398-484 with identical printf formats.
+
+    Numeric columns are computed VECTORIZED over the alignment list with
+    the same expressions (and the same scalar-vs-array numpy dtype
+    semantics) as the per-row originals; byte-equality of the TSV is
+    asserted by tests/test_golden_outputs.py.  The per-kmer rank uses a
+    memoized dict (kmer_rank's per-char loop ran once per ROW before)."""
+    if not alignments:
+        return
     model = sr.base_model[strand_idx]
     k = model.k
     scalings = sr.scalings[strand_idx]
     sqrt_var = math.sqrt(scalings.var)
-    for ea in alignments:
+
+    rank_cache = _KMER_RANK_CACHE.setdefault((id(model.alphabet), k), {})
+    kmer_rank = model.alphabet.kmer_rank
+    n = len(alignments)
+    ev_idx = np.empty(n, np.int64)
+    ranks = np.empty(n, np.int64)
+    is_b = np.empty(n, bool)
+    for i, ea in enumerate(alignments):
+        ev_idx[i] = ea.event_idx
+        b = ea.hmm_state == "B"
+        is_b[i] = b
+        if b:
+            ranks[i] = 0
+        else:
+            r = rank_cache.get(ea.model_kmer)
+            if r is None:
+                r = kmer_rank(ea.model_kmer, k)
+                rank_cache[ea.model_kmer] = r
+            ranks[i] = r
+
+    event_stdv_col = sr.get_stdv(ev_idx, strand_idx)
+    event_dur_col = sr.get_duration(ev_idx, strand_idx)
+    if scale_events:
+        event_mean_col = sr.get_fully_scaled_level(ev_idx, strand_idx)
+        model_mean_col = np.where(is_b, 0.0,
+                                  model.level_mean[ranks].astype(np.float64))
+        model_stdv_col = np.where(is_b, 0.0,
+                                  model.level_stdv[ranks].astype(np.float64))
+    else:
+        event_mean_col = sr.get_unscaled_level(ev_idx, strand_idx)
+        mm, ms = sr.get_scaled_gaussian(model, strand_idx, ranks)
+        model_mean_col = np.where(is_b, 0.0, np.asarray(mm, np.float64))
+        model_stdv_col = np.where(is_b, 0.0, np.asarray(ms, np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        std_col = np.where(
+            model_stdv_col > 0,
+            (event_mean_col - model_mean_col) / (sqrt_var * model_stdv_col),
+            np.where(event_mean_col > model_mean_col, np.inf,
+                     np.where(event_mean_col < model_mean_col,
+                              -np.inf, np.nan)))
+
+    event_mean_l = event_mean_col.tolist()
+    event_stdv_l = event_stdv_col.tolist()
+    event_dur_l = event_dur_col.tolist()
+    model_mean_l = model_mean_col.tolist()
+    model_stdv_l = model_stdv_col.tolist()
+    std_l = std_col.tolist()
+
+    for i, ea in enumerate(alignments):
         who = sr.read_name if print_read_names else str(ea.read_idx)
         fp.write(f"{ea.ref_name}\t{ea.ref_position}\t{ea.ref_kmer}\t"
-                 f"{who}\t{'tc'[ea.strand_idx]}\t")
-        event_mean = sr.get_unscaled_level(ea.event_idx, ea.strand_idx)
-        event_stdv = sr.get_stdv(ea.event_idx, ea.strand_idx)
-        event_duration = sr.get_duration(ea.event_idx, ea.strand_idx)
-        rank = model.alphabet.kmer_rank(ea.model_kmer, k) \
-            if ea.hmm_state != "B" else 0
-        model_mean = 0.0
-        model_stdv = 0.0
-        if scale_events:
-            event_mean = sr.get_fully_scaled_level(ea.event_idx, ea.strand_idx)
-            if ea.hmm_state != "B":
-                model_mean = float(model.level_mean[rank])
-                model_stdv = float(model.level_stdv[rank])
-        else:
-            if ea.hmm_state != "B":
-                model_mean, model_stdv = sr.get_scaled_gaussian(
-                    model, ea.strand_idx, rank)
-                model_mean = float(model_mean)
-                model_stdv = float(model_stdv)
-        if model_stdv > 0:
-            standard_level = (event_mean - model_mean) / (sqrt_var * model_stdv)
-        else:
-            standard_level = float("inf") if event_mean > model_mean else \
-                (-float("inf") if event_mean < model_mean else float("nan"))
-        fp.write(f"{ea.event_idx}\t{event_mean:.2f}\t{event_stdv:.3f}\t"
-                 f"{event_duration:.5f}\t")
-        fp.write(f"{ea.model_kmer}\t{model_mean:.2f}\t{model_stdv:.2f}\t"
-                 f"{standard_level:.2f}")
+                 f"{who}\t{'tc'[ea.strand_idx]}\t"
+                 f"{ea.event_idx}\t{event_mean_l[i]:.2f}\t"
+                 f"{event_stdv_l[i]:.3f}\t{event_dur_l[i]:.5f}\t"
+                 f"{ea.model_kmer}\t{model_mean_l[i]:.2f}\t"
+                 f"{model_stdv_l[i]:.2f}\t{std_l[i]:.2f}")
         if write_signal_index:
             s, e = sr.get_event_sample_idx(ea.strand_idx, ea.event_idx)
             fp.write(f"\t{s}\t{e}")
