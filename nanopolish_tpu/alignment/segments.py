@@ -85,6 +85,49 @@ def _bucket_indices(segments: Sequence[HMMSegment], tq: int, kq: int):
     return buckets
 
 
+def _pow2_chunks(segments, chunk_cap):
+    """Bucket segment indices by power-of-two padded event length and cut
+    each bucket into dispatch chunks (shared by the forward and viterbi
+    Pallas drains)."""
+    buckets = {}
+    for i, s in enumerate(segments):
+        tp = 256
+        while tp < len(s.levels):
+            tp *= 2
+        buckets.setdefault(tp, []).append(i)
+    for tp, idxs in buckets.items():
+        for lo in range(0, len(idxs), chunk_cap):
+            yield tp, idxs[lo:lo + chunk_cap]
+
+
+def _pack_chunk(segments, chunk, tp, indel_bias):
+    """Pad one chunk into the profile-HMM packed wire format."""
+    from ..ops.pallas_profile_hmm import _pack_hmm_inputs
+
+    B = len(chunk)
+    K = max(len(segments[si].mu) for si in chunk)
+    levels = np.zeros((B, tp), np.float32)
+    mu = np.zeros((B, K), np.float32)
+    sigma = np.ones((B, K), np.float32)
+    n_events = np.zeros(B, np.int32)
+    n_kmers = np.zeros(B, np.int32)
+    epb = np.full(B, 2.0, np.float32)
+    flags = np.zeros(B, np.int32)
+    for bi, si in enumerate(chunk):
+        s = segments[si]
+        ne, nk = len(s.levels), len(s.mu)
+        levels[bi, :ne] = s.levels
+        mu[bi, :nk] = s.mu
+        sigma[bi, :nk] = s.sigma
+        n_events[bi] = ne
+        n_kmers[bi] = nk
+        epb[bi] = s.events_per_base
+        flags[bi] = s.flags
+    return _pack_hmm_inputs(levels, n_events, mu, sigma,
+                            np.log(np.maximum(sigma, 1e-30)), n_kmers,
+                            epb, flags, indel_bias)
+
+
 def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
                              indel_bias: float):
     """TPU fast path (ops/pallas_profile_hmm): one compiled shape per
@@ -94,46 +137,16 @@ def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
     import jax.numpy as jnp
 
     from ..ops.pallas_profile_hmm import (_expand_backtrack,
-                                          _pack_hmm_inputs,
                                           _profile_hmm_viterbi_call_packed)
 
     results: List[Optional[Tuple]] = [None] * len(segments)
     pending = []
-    buckets = {}
-    for i, s in enumerate(segments):
-        tp = 256
-        while tp < len(s.levels):
-            tp *= 2
-        buckets.setdefault(tp, []).append(i)
-    for tp, idxs in buckets.items():
-        for lo in range(0, len(idxs), 256):
-            chunk = idxs[lo:lo + 256]
-            B = len(chunk)
-            K = max(len(segments[si].mu) for si in chunk)
-            levels = np.zeros((B, tp), np.float32)
-            mu = np.zeros((B, K), np.float32)
-            sigma = np.ones((B, K), np.float32)
-            n_events = np.zeros(B, np.int32)
-            n_kmers = np.zeros(B, np.int32)
-            epb = np.full(B, 2.0, np.float32)
-            flags = np.zeros(B, np.int32)
-            for bi, si in enumerate(chunk):
-                s = segments[si]
-                ne, nk = len(s.levels), len(s.mu)
-                levels[bi, :ne] = s.levels
-                mu[bi, :nk] = s.mu
-                sigma[bi, :nk] = s.sigma
-                n_events[bi] = ne
-                n_kmers[bi] = nk
-                epb[bi] = s.events_per_base
-                flags[bi] = s.flags
-            packed, TP, B0, nev, nk = _pack_hmm_inputs(
-                levels, n_events, mu, sigma,
-                np.log(np.maximum(sigma, 1e-30)), n_kmers, epb, flags,
-                indel_bias)
-            ke, meta = _profile_hmm_viterbi_call_packed(packed, TP)
-            pending.append((chunk, ke.shape, jnp.concatenate(
-                [ke.reshape(-1), meta.reshape(-1)]), nev, nk, B0))
+    for tp, chunk in _pow2_chunks(segments, 256):
+        packed, TP, B0, nev, nk = _pack_chunk(segments, chunk, tp,
+                                              indel_bias)
+        ke, meta = _profile_hmm_viterbi_call_packed(packed, TP)
+        pending.append((chunk, ke.shape, jnp.concatenate(
+            [ke.reshape(-1), meta.reshape(-1)]), nev, nk, B0))
     if not pending:
         return results
     # ONE device->host fetch for all chunks (each materialization pays a
@@ -204,51 +217,21 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
     length, mixed clip flags share a compile (ops/pallas_profile_hmm)."""
     import jax.numpy as jnp
 
-    from ..ops.pallas_profile_hmm import (_pack_hmm_inputs,
-                                          _profile_hmm_forward_call_packed)
+    from ..ops.pallas_profile_hmm import _profile_hmm_forward_call_packed
     from ..utils.profiler import profile_scope
 
     out = np.zeros(len(segments), np.float32)
-    buckets = {}
-    for i, s in enumerate(segments):
-        tp = 256
-        while tp < len(s.levels):
-            tp *= 2
-        buckets.setdefault(tp, []).append(i)
     # two passes: DISPATCH every bucket chunk first (jax dispatch is
     # async, so the kernels and their d2h transfers pipeline), then
     # materialize — on remotely-attached chips each sync costs a full
     # relay round trip, which serialized syncs would pay per chunk
     pending = []
-    for tp, idxs in buckets.items():
-        for lo in range(0, len(idxs), 512):
-            chunk = idxs[lo:lo + 512]
-            B = len(chunk)
-            K = max(len(segments[si].mu) for si in chunk)
-            levels = np.zeros((B, tp), np.float32)
-            mu = np.zeros((B, K), np.float32)
-            sigma = np.ones((B, K), np.float32)
-            n_events = np.zeros(B, np.int32)
-            n_kmers = np.zeros(B, np.int32)
-            epb = np.full(B, 2.0, np.float32)
-            flags = np.zeros(B, np.int32)
-            for bi, si in enumerate(chunk):
-                s = segments[si]
-                ne, nk = len(s.levels), len(s.mu)
-                levels[bi, :ne] = s.levels
-                mu[bi, :nk] = s.mu
-                sigma[bi, :nk] = s.sigma
-                n_events[bi] = ne
-                n_kmers[bi] = nk
-                epb[bi] = s.events_per_base
-                flags[bi] = s.flags
-            with profile_scope("segments.forward_pallas_dispatch"):
-                packed, TP, B0, _, _ = _pack_hmm_inputs(
-                    levels, n_events, mu, sigma,
-                    np.log(np.maximum(sigma, 1e-30)), n_kmers, epb, flags,
-                    indel_bias)
-                dev = _profile_hmm_forward_call_packed(packed, TP)
-            pending.append((chunk, dev, B0))
+    for tp, chunk in _pow2_chunks(segments, 512):
+        with profile_scope("segments.forward_pallas_dispatch"):
+            packed, TP, B0, _, _ = _pack_chunk(segments, chunk, tp,
+                                               indel_bias)
+            dev = _profile_hmm_forward_call_packed(packed, TP)
+        pending.append((chunk, dev, B0))
     if not pending:
         return out
     # ONE device->host fetch for the whole batch: concatenate the chunk

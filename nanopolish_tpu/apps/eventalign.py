@@ -62,7 +62,8 @@ def emit_event_alignment_tsv(fp: TextIO, sr: SquiggleRead, strand_idx: int,
     scalings = sr.scalings[strand_idx]
     sqrt_var = math.sqrt(scalings.var)
 
-    rank_cache = _KMER_RANK_CACHE.setdefault((id(model.alphabet), k), {})
+    rank_cache = _KMER_RANK_CACHE.setdefault(
+        (model.alphabet.name, model.alphabet.bases, k), {})
     kmer_rank = model.alphabet.kmer_rank
     n = len(alignments)
     ev_idx = np.empty(n, np.int64)
@@ -85,22 +86,27 @@ def emit_event_alignment_tsv(fp: TextIO, sr: SquiggleRead, strand_idx: int,
     event_dur_col = sr.get_duration(ev_idx, strand_idx)
     if scale_events:
         event_mean_col = sr.get_fully_scaled_level(ev_idx, strand_idx)
-        model_mean_col = np.where(is_b, 0.0,
-                                  model.level_mean[ranks].astype(np.float64))
-        model_stdv_col = np.where(is_b, 0.0,
-                                  model.level_stdv[ranks].astype(np.float64))
+        mm32 = model.level_mean[ranks].astype(np.float32)
+        ms32 = model.level_stdv[ranks].astype(np.float32)
     else:
         event_mean_col = sr.get_unscaled_level(ev_idx, strand_idx)
         mm, ms = sr.get_scaled_gaussian(model, strand_idx, ranks)
-        model_mean_col = np.where(is_b, 0.0, np.asarray(mm, np.float64))
-        model_stdv_col = np.where(is_b, 0.0, np.asarray(ms, np.float64))
+        mm32 = np.asarray(mm, np.float32)
+        ms32 = np.asarray(ms, np.float32)
+    # f32 value semantics of the replaced per-row code (NEP 50: an f32
+    # scalar minus a weak python float stays f32, and the f64 product
+    # sqrt_var*model_stdv is rounded to f32 before the divide)
+    model_mean_col = np.where(is_b, np.float32(0), mm32)
+    model_stdv_col = np.where(is_b, np.float32(0), ms32)
+    den32 = (np.float64(sqrt_var) *
+             model_stdv_col.astype(np.float64)).astype(np.float32)
     with np.errstate(divide="ignore", invalid="ignore"):
         std_col = np.where(
             model_stdv_col > 0,
-            (event_mean_col - model_mean_col) / (sqrt_var * model_stdv_col),
-            np.where(event_mean_col > model_mean_col, np.inf,
+            (event_mean_col - model_mean_col) / den32,
+            np.where(event_mean_col > model_mean_col, np.float32(np.inf),
                      np.where(event_mean_col < model_mean_col,
-                              -np.inf, np.nan)))
+                              np.float32(-np.inf), np.float32(np.nan))))
 
     event_mean_l = event_mean_col.tolist()
     event_stdv_l = event_stdv_col.tolist()

@@ -306,7 +306,7 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
             tr = jnp.where(sl >= m2, FROM_L,
                            jnp.where(su >= sd, FROM_U, FROM_D))  # L > U > D
         else:
-            tr = jnp.zeros((B, LANES), jnp.int32)
+            tr = jnp.zeros((Bs, LANES), jnp.int32)
         cell = m3
 
         if with_trim_end:
@@ -522,7 +522,7 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
             off0 = (st[2] - st[0]) & 127                   # ll_e - cur_e
             inits.append((_align_up(packed, off0),) + st)
 
-        def band(mm, carry, rbits, span):
+        def band(mm, carry, rbits):
             (pk, cur_e_v, cur_k_v, ll_e_v, active_v, sum_em_v, n_pairs_v,
              cur_gap_v, max_gap_v, last_ki_v, min_ev_v,
              es_v, kmu_v, ksig_v, kc_v) = carry
@@ -595,7 +595,7 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
         def band_all(mm, carrys):
             # the chains are independent: their ops interleave inside one
             # loop iteration, hiding each other's latency
-            outs = [band(mm, carrys[s], rbits_l[s], spans[s])
+            outs = [band(mm, carrys[s], rbits_l[s])
                     for s in range(nsplit)]
             if "rows" not in _ABLATE:
                 c = g * PACK + (PACK - 1) - mm
@@ -623,7 +623,8 @@ def _backtrack_kernel(trace_ref, evr_ref, tmu_ref, tsig_ref, tc_ref,
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("Tp", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("Tp", "interpret", "nsplit"))
 def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False,
                nsplit=None):
     B = evr.shape[0]
@@ -631,6 +632,9 @@ def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False,
         nsplit = int(_os.environ.get("NPT_FILL_SPLIT", "2"))
     while nsplit > 1 and B % (8 * nsplit):  # sublane-aligned sub-batches
         nsplit //= 2
+    # NOTE: when this runs under an outer jit, env vars are read at trace
+    # time; callers that must honor a changed env (tests, sweeps) pass
+    # nsplit explicitly (banded_align_exact does)
     Kp = tmu.shape[1] - 768
     n_steps = (Tp + Kp) // CHUNK
     out_shape = (
@@ -672,9 +676,10 @@ def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False,
     )(evr, tmu, tsig, tc, nev, nk, lps, lpt)
 
 
-@functools.partial(jax.jit, static_argnames=("Tp", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("Tp", "interpret", "nsplit"))
 def _backtrack_call(trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok,
-                    Tp, interpret=False):
+                    Tp, interpret=False, nsplit=None):
     n_rows, B, _ = trace.shape
     n_steps = n_rows * PACK // CHUNK
     out_shape = (
@@ -737,15 +742,18 @@ def _b2e_from_pairs(rows_k, rows_e, failed, K0):
     return b2e_start, b2e_stop
 
 
-@functools.partial(jax.jit, static_argnames=("Tp", "K0", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "Tp", "K0", "interpret", "fill_nsplit", "bt_nsplit"))
 def _exact_align_device(evr, tmu, tsig, tc, nev, nk, lps, lpt,
-                        Tp, K0, interpret=False):
+                        Tp, K0, interpret=False,
+                        fill_nsplit=None, bt_nsplit=None):
     trace, lle, best_s, best_e = _fill_call(
-        evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=interpret)
+        evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=interpret,
+        nsplit=fill_nsplit)
     best_ok = (best_s > OB).astype(jnp.int32)
     rows_k, rows_e, sum_em, stats = _backtrack_call(
         trace, evr, tmu, tsig, tc, nk, lle, best_e, best_ok, Tp,
-        interpret=interpret)
+        interpret=interpret, nsplit=bt_nsplit)
     n_pairs = stats[0, :]
     max_gap = stats[1, :]
     last_ki = stats[2, :]
@@ -772,14 +780,17 @@ def _exact_align_device(evr, tmu, tsig, tc, nev, nk, lps, lpt,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("Tp", "K0", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "Tp", "K0", "interpret", "fill_nsplit", "bt_nsplit"))
 def _exact_align_device_packed(evr, tmu, tsig, tc, nev, nk, lps, lpt,
-                               Tp, K0, interpret=False):
+                               Tp, K0, interpret=False,
+                               fill_nsplit=None, bt_nsplit=None):
     """One int32 [B, 2*K0+6] wire array holding the whole result —
     a single device->host transfer per sub-batch (each transfer costs a
     relay round trip on remotely-attached chips)."""
     r = _exact_align_device(evr, tmu, tsig, tc, nev, nk, lps, lpt,
-                            Tp, K0, interpret=interpret)
+                            Tp, K0, interpret=interpret,
+                            fill_nsplit=fill_nsplit, bt_nsplit=bt_nsplit)
     fbits = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
         x.astype(jnp.float32), jnp.int32)
     return jnp.concatenate([
@@ -866,7 +877,9 @@ def banded_align_exact(event_mean, n_events, mu, sigma, log_sigma, n_kmers,
         dev = _exact_align_device_packed(
             prep["evr"], prep["tmu"], prep["tsig"], prep["tc"],
             prep["nev"], prep["nk"], padded(lp_stay[sl]), padded(lp_step[sl]),
-            prep["Tp"], prep["K0"], interpret=interpret)
+            prep["Tp"], prep["K0"], interpret=interpret,
+            fill_nsplit=int(_os.environ.get("NPT_FILL_SPLIT", "2")),
+            bt_nsplit=int(_os.environ.get("NPT_BT_SPLIT", "1")))
         pending.append((dev, prep["K0"], hi - lo))
     outs = []
     for dev, K0c, n in pending:

@@ -327,9 +327,11 @@ class Alphabet:
         n = len(out)
         while i < n:
             stride = 1
-            cur = "".join(out)
+            # matching inspects positions >= i only, which this loop
+            # never modifies before reaching them — match against the
+            # original string instead of re-joining out every position
             for j, site_m in enumerate(self.recognition_sites_methylated):
-                m = _match_to_site(cur, i, site_m)
+                m = _match_to_site(s, i, site_m)
                 if m.length > 0:
                     site = self.recognition_sites[j]
                     out[i : i + m.length] = site[m.offset : m.offset + m.length]
