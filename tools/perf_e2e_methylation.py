@@ -92,7 +92,8 @@ def build_corpus(d):
 def run_once(fastq, bam, ref_fa):
     out = io.StringIO()
     t0 = time.perf_counter()
-    cm_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-q", "cpg"],
+    cm_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-q", "cpg",
+                 "-t", os.environ.get("NPT_E2E_THREADS", "1")],
                 stdout=out)
     dt = time.perf_counter() - t0
     lines = [l for l in out.getvalue().splitlines() if l and
