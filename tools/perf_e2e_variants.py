@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""End-to-end variants --consensus throughput on one chip: a draft window
+with planted substitution/deletion errors every ~150 bases, N reads of
+true signal, polish with the real app (candidate screening -> haplotype
+combinations -> batched packed Forward scoring, 50-round loop), and
+report wall-clock bases-polished/s plus planted-error recovery.
+
+Usage: python tools/perf_e2e_variants.py
+Env: NPT_E2E_READS (default 24), NPT_E2E_WINDOW (draft length, default
+1200).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("NPT_PLATFORM"):      # e.g. NPT_PLATFORM=cpu for smoke
+    import jax
+    jax.config.update("jax_platforms", os.environ["NPT_PLATFORM"])
+
+from nanopolish_tpu.apps import index as index_app
+from nanopolish_tpu.apps import variants as var_app
+from nanopolish_tpu.io.bam import BamRecord, BamWriter
+from nanopolish_tpu.io.slow5 import Slow5Writer
+from nanopolish_tpu.models.pore_model import PoreModelSet
+from nanopolish_tpu.models.squiggle import SquiggleScalings
+from nanopolish_tpu.utils.synthetic import random_sequence, synthetic_raw_signal
+
+N_READS = int(os.environ.get("NPT_E2E_READS", "24"))
+DRAFT_LEN = int(os.environ.get("NPT_E2E_WINDOW", "1200"))
+SUB = {"A": "G", "C": "T", "G": "A", "T": "C"}
+
+
+def build_corpus(d):
+    rng = np.random.default_rng(41)
+    model = PoreModelSet.instance().get_model(
+        "r9.4_450bps", "nucleotide", "template", 6)
+    truth = random_sequence(rng, DRAFT_LEN)
+    draft = list(truth)
+    sub_positions = list(range(120, DRAFT_LEN - 120, 150))
+    for p in sub_positions:
+        draft[p] = SUB[draft[p]]
+    draft = "".join(draft)
+
+    draft_fa = os.path.join(d, "draft.fa")
+    with open(draft_fa, "w") as fh:
+        fh.write(">tig1\n")
+        for i in range(0, len(draft), 60):
+            fh.write(draft[i:i + 60] + "\n")
+
+    fastq = os.path.join(d, "reads.fastq")
+    slow5 = os.path.join(d, "sig.slow5")
+    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+        for i in range(N_READS):
+            name = f"r{i}"
+            fq.write(f"@{name}\n{truth}\n+\n{'I' * len(truth)}\n")
+            sc = SquiggleScalings.from4(float(rng.uniform(-2, 2)), 1.0,
+                                        0.0, 1.0)
+            pa = synthetic_raw_signal(rng, truth, model, sc,
+                                      samples_per_base=9.0, leader=450,
+                                      trailer=90)
+            adc = np.clip(pa * 8192.0 / 1400.0, -32000, 32000).astype(np.int16)
+            sw.write(name, adc, 8192.0, 0.0, 1400.0, 4000.0)
+    index_app.main([fastq, "--slow5", slow5])
+
+    bam = os.path.join(d, "aln.bam")
+    w = BamWriter(bam, "@HD\tVN:1.6\tSO:coordinate\n", ["tig1"], [len(draft)])
+    for i in range(N_READS):
+        w.write(BamRecord(qname=f"r{i}", tid=0, pos=0, mapq=60,
+                          cigar=[(0, DRAFT_LEN)], seq=truth,
+                          qual=np.full(len(truth), 30, np.uint8)))
+    w.close()
+    return fastq, bam, draft_fa, draft, truth, sub_positions
+
+
+def main():
+    with tempfile.TemporaryDirectory() as d:
+        fastq, bam, draft_fa, draft, truth, subs = build_corpus(d)
+        for tag in ("cold", "warm"):
+            vcf_path = os.path.join(d, f"polished_{tag}.vcf")
+            t0 = time.perf_counter()
+            var_app.main(["-r", fastq, "-b", bam, "-g", draft_fa,
+                          "-w", f"tig1:0-{DRAFT_LEN - 1}", "--consensus",
+                          "-o", vcf_path, "-d", "10"])
+            dt = time.perf_counter() - t0
+            keys = set()
+            for line in open(vcf_path):
+                if line.startswith("#"):
+                    continue
+                f = line.split("\t")
+                keys.add((int(f[1]) - 1, f[3], f[4]))
+            recovered = sum((p, draft[p], truth[p]) in keys for p in subs)
+            print(json.dumps({
+                "pass": tag, "reads": N_READS, "window_bases": DRAFT_LEN,
+                "s": round(dt, 1),
+                "bases_per_s": round(DRAFT_LEN / dt, 1),
+                "planted_subs": len(subs), "recovered": recovered,
+                "n_calls": len(keys)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
