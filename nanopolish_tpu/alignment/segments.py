@@ -86,16 +86,21 @@ def _bucket_indices(segments: Sequence[HMMSegment], tq: int, kq: int):
 
 
 def _pow2_chunks(segments, chunk_cap):
-    """Bucket segment indices by power-of-two padded event length and cut
-    each bucket into dispatch chunks (shared by the forward and viterbi
-    Pallas drains)."""
+    """Bucket segment indices by power-of-two padded event length AND
+    kmer-lane width, then cut each bucket into dispatch chunks (shared
+    by the forward and viterbi Pallas drains).  Bucketing by kmer width
+    keeps small windows (variants screening, ~13 kmers) on the 128-lane
+    kernel even when a batch also holds wide windows."""
     buckets = {}
     for i, s in enumerate(segments):
-        tp = 256
+        tp = 128
         while tp < len(s.levels):
             tp *= 2
-        buckets.setdefault(tp, []).append(i)
-    for tp, idxs in buckets.items():
+        kp = 128
+        while kp < len(s.mu):
+            kp *= 2
+        buckets.setdefault((tp, kp), []).append(i)
+    for (tp, _kp), idxs in buckets.items():
         for lo in range(0, len(idxs), chunk_cap):
             yield tp, idxs[lo:lo + chunk_cap]
 

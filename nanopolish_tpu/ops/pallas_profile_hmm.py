@@ -101,6 +101,7 @@ def _fwd_kernel(ev_ref, a_ref, b2_ref, c0_ref, nev_ref, nk_ref, tr_ref,
     [B,KP] width; [B,1] values only ever feed arithmetic broadcasts."""
     i = pl.program_id(0)
     B = ev_ref.shape[0]
+    KP = a_ref.shape[1]        # kmer lanes (shadows the default width)
     lanes = _iota(KP)
     lanes_b = _iota_b(B, KP)
     lanes_fb = lanes_b.astype(jnp.float32)
@@ -193,6 +194,7 @@ def _fwd_kernel(ev_ref, a_ref, b2_ref, c0_ref, nev_ref, nk_ref, tr_ref,
 def _profile_hmm_forward_call(ev, a_tab, b2_tab, c0_tab, nev, nk, trans,
                               clips):
     B, TP = ev.shape
+    KP = a_tab.shape[1]
     grid = TP // R
     return pl.pallas_call(
         _fwd_kernel,
@@ -279,7 +281,11 @@ def _pack_hmm_inputs(levels, n_events, mu, sigma, log_sigma, n_kmers,
 
     B0, T0 = levels.shape
     K0 = mu.shape[1]
-    assert K0 <= KP, f"segment kmer count {K0} exceeds kernel width {KP}"
+    # per-call kmer-lane bucket: small windows (e.g. variants screening,
+    # ~13 kmers) ride a 128-lane kernel instead of the 256-lane maximum,
+    # halving the wire format and the per-row VPU work; one compile per
+    # (TP, KP) bucket
+    KP = _pad_to_pow2(K0, lo=128)
     # pad B to a power of two (not just x8): remainder chunks otherwise
     # compile a fresh kernel per arbitrary batch size, and remote compiles
     # cost minutes each
@@ -314,6 +320,7 @@ def _pack_hmm_inputs(levels, n_events, mu, sigma, log_sigma, n_kmers,
 
 
 def _unpack_hmm_inputs(packed, TP):
+    KP = (packed.shape[1] - TP - 12) // 3
     o = TP
     ev = packed[:, :TP]
     a_tab = packed[:, o:o + KP]; o += KP
@@ -384,6 +391,7 @@ def _vit_kernel(ev_ref, a_ref, b2_ref, c0_ref, nev_ref, nk_ref, tr_ref,
                 m_st, b_st, k_st):
     i = pl.program_id(0)
     B = ev_ref.shape[0]
+    KP = a_ref.shape[1]        # kmer lanes (shadows the default width)
     lanes = _iota(KP)
     lanes_f = lanes.astype(jnp.float32)
 
@@ -505,6 +513,7 @@ def _vit_backtrack_kernel(tr1_ref, trk_ref, nev_ref, nk_ref,
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     B = nev_ref.shape[0]
+    KP = tr1_ref.shape[2]      # kmer lanes (shadows the default width)
     lanes = _iota_b(B, KP)
 
     @pl.when(i == 0)
@@ -574,6 +583,7 @@ def _vit_backtrack_kernel(tr1_ref, trk_ref, nev_ref, nk_ref,
 def _profile_hmm_viterbi_call(ev, a_tab, b2_tab, c0_tab, nev, nk, trans,
                               clips):
     B, TP = ev.shape
+    KP = a_tab.shape[1]
     grid = TP // R
     vmem = pltpu.VMEM
     tr1, trk, _ = pl.pallas_call(

@@ -84,11 +84,21 @@ def main():
         fastq, bam, draft_fa, draft, truth, subs = build_corpus(d)
         for tag in ("cold", "warm"):
             vcf_path = os.path.join(d, f"polished_{tag}.vcf")
+            pr = None
+            if tag == "warm" and os.environ.get("NPT_E2E_PROFILE"):
+                import cProfile
+                pr = cProfile.Profile()
+                pr.enable()
             t0 = time.perf_counter()
             var_app.main(["-r", fastq, "-b", bam, "-g", draft_fa,
                           "-w", f"tig1:0-{DRAFT_LEN - 1}", "--consensus",
                           "-o", vcf_path, "-d", "10"])
             dt = time.perf_counter() - t0
+            if pr is not None:
+                import pstats
+                pr.disable()
+                pstats.Stats(pr, stream=sys.stderr).sort_stats(
+                    "cumulative").print_stats(30)
             keys = set()
             for line in open(vcf_path):
                 if line.startswith("#"):
