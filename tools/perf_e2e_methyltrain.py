@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""End-to-end methyltrain throughput on one chip: N reads over a
+methylated reference, a perturbed starting cpg model, R training rounds
+(ingest -> Pallas Viterbi event-kmer assignment -> batched mixture EM ->
+model update); report wall-clock reads*rounds/s and the mean M-kmer
+error before/after (convergence evidence).
+
+Usage: python tools/perf_e2e_methyltrain.py
+Env: NPT_E2E_READS (default 48), NPT_E2E_ROUNDS (default 4),
+NPT_E2E_GENOME (default 1200).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("NPT_PLATFORM"):      # e.g. NPT_PLATFORM=cpu for smoke
+    import jax
+    jax.config.update("jax_platforms", os.environ["NPT_PLATFORM"])
+
+from nanopolish_tpu.apps import index as index_app
+from nanopolish_tpu.apps import methyltrain as mt_app
+from nanopolish_tpu.io.bam import BamRecord, BamWriter
+from nanopolish_tpu.io.slow5 import Slow5Writer
+from nanopolish_tpu.models.pore_model import PoreModelSet
+from nanopolish_tpu.models.squiggle import SquiggleScalings
+from nanopolish_tpu.utils.alphabet import METHYL_CPG_ALPHABET
+from nanopolish_tpu.utils.synthetic import random_sequence, synthetic_raw_signal
+
+N_READS = int(os.environ.get("NPT_E2E_READS", "48"))
+ROUNDS = int(os.environ.get("NPT_E2E_ROUNDS", "4"))
+GENOME_LEN = int(os.environ.get("NPT_E2E_GENOME", "1200"))
+PERTURB = 4.0
+
+
+def main():
+    d = tempfile.mkdtemp(prefix="npt_mt_")
+    os.chdir(d)
+    pms = PoreModelSet.instance()
+    true_cpg = pms.get_model("r9.4_450bps", "cpg", "template", 6)
+
+    rng = np.random.default_rng(53)
+    genome = ""
+    while genome.count("CG") < GENOME_LEN // 50:
+        genome = random_sequence(rng, GENOME_LEN)
+    meth_genome = METHYL_CPG_ALPHABET.methylate(genome)
+
+    ref_fa = os.path.join(d, "ref_meth.fa")
+    with open(ref_fa, "w") as fh:
+        fh.write(">tig1\n")
+        for i in range(0, len(meth_genome), 60):
+            fh.write(meth_genome[i:i + 60] + "\n")
+
+    kmers_m = np.array(["M" in true_cpg.alphabet.rank_to_kmer(r, 6)
+                        for r in range(true_cpg.level_mean.shape[0])])
+    pert_mean = true_cpg.level_mean.copy()
+    pert_mean[kmers_m] += PERTURB
+    perturbed = true_cpg.with_states(pert_mean, true_cpg.level_stdv.copy())
+    model_path = os.path.join(d, "start.model")
+    perturbed.write(model_path, "r9.4_450bps.cpg.6mer.template.start")
+    fofn = os.path.join(d, "models.fofn")
+    with open(fofn, "w") as fh:
+        fh.write(model_path + "\n")
+
+    fastq = os.path.join(d, "reads.fastq")
+    slow5 = os.path.join(d, "sig.slow5")
+    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+        for i in range(N_READS):
+            name = f"r{i}"
+            fq.write(f"@{name}\n{genome}\n+\n{'I' * len(genome)}\n")
+            sc = SquiggleScalings.from4(0.0, 1.0, 0.0, 1.0)
+            pa = synthetic_raw_signal(rng, meth_genome, true_cpg, sc,
+                                      samples_per_base=10.0, leader=450,
+                                      trailer=90)
+            adc = np.clip(pa * 8192.0 / 1400.0, -32000, 32000).astype(np.int16)
+            sw.write(name, adc, 8192.0, 0.0, 1400.0, 4000.0)
+    index_app.main([fastq, "--slow5", slow5])
+
+    bam = os.path.join(d, "aln.bam")
+    w = BamWriter(bam, "@HD\tVN:1.6\tSO:coordinate\n", ["tig1"], [GENOME_LEN])
+    for i in range(N_READS):
+        w.write(BamRecord(qname=f"r{i}", tid=0, pos=0, mapq=60,
+                          cigar=[(0, GENOME_LEN)], seq=genome,
+                          qual=np.full(GENOME_LEN, 30, np.uint8)))
+    w.close()
+
+    # synthetic corpus is far below the reference's 1000-events/kmer cap;
+    # lower the train threshold like tests/test_methyltrain_e2e.py does
+    mt_app.MIN_NUMBER_OF_EVENTS_TO_TRAIN = 15
+    t0 = time.perf_counter()
+    mt_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-m", fofn,
+                 "--rounds", str(ROUNDS), "--no-write-models"])
+    dt = time.perf_counter() - t0
+
+    trained = pms.get_model("r9.4_450bps", "cpg", "template", 6)
+    summary = open("methyltrain.summary").read().splitlines()
+    trained_kmers = [l.split("\t")[1] for l in summary[1:]
+                     if l.split("\t")[6] == "1" and "M" in l.split("\t")[1]]
+    errs = [abs(float(trained.level_mean[
+        true_cpg.alphabet.kmer_rank(km, 6)]) -
+        float(true_cpg.level_mean[true_cpg.alphabet.kmer_rank(km, 6)]))
+        for km in trained_kmers]
+    print(json.dumps({
+        "reads": N_READS, "rounds": ROUNDS, "s": round(dt, 1),
+        "read_rounds_per_s": round(N_READS * ROUNDS / dt, 2),
+        "m_kmers_trained": len(trained_kmers),
+        "err_before_pA": PERTURB,
+        "err_after_pA_mean": round(float(np.mean(errs)), 2) if errs
+        else None}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
