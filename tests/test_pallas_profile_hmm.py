@@ -69,3 +69,18 @@ def test_pallas_viterbi_matches_scan_backtrack(flags):
         assert rs == ps
         np.testing.assert_array_equal(re, pe)
         np.testing.assert_array_equal(rk, pk)
+
+
+def test_forward_scores_invariant_to_kmer_lane_bucket():
+    """The per-call kmer-lane bucket (KP, chosen from the padded table
+    width) must not change scores: the same segments packed at K0=40
+    (128-lane kernel) and zero-padded to K0=200 (256-lane kernel) give
+    bit-identical Forward scores — n_kmers masks the padding."""
+    lv, Ts, mu, sd, Ks, epb = _batch(8, 40, 160, seed=9)
+    s128 = profile_hmm_forward_pallas(lv, Ts, mu, sd, np.log(sd), Ks, epb, 3)
+    pad = 200 - mu.shape[1]
+    mu2 = np.pad(mu, ((0, 0), (0, pad)))
+    sd2 = np.pad(sd, ((0, 0), (0, pad)), constant_values=1.0)
+    s256 = profile_hmm_forward_pallas(lv, Ts, mu2, sd2, np.log(sd2), Ks,
+                                      epb, 3)
+    np.testing.assert_array_equal(s128, s256)
