@@ -100,13 +100,15 @@ def _pow2_chunks(segments, chunk_cap):
         while kp < len(s.mu):
             kp *= 2
         buckets.setdefault((tp, kp), []).append(i)
-    for (tp, _kp), idxs in buckets.items():
+    for (tp, kp), idxs in buckets.items():
         for lo in range(0, len(idxs), chunk_cap):
-            yield tp, idxs[lo:lo + chunk_cap]
+            yield tp, kp, idxs[lo:lo + chunk_cap]
 
 
-def _pack_chunk(segments, chunk, tp, indel_bias):
-    """Pad one chunk into the profile-HMM packed wire format."""
+def _pack_chunk(segments, chunk, tp, kp, indel_bias):
+    """Pad one chunk into the profile-HMM packed wire format.  kp is the
+    bucket's kmer-lane width from _pow2_chunks — passed through so the
+    kernel shape is derived exactly once."""
     from ..ops.pallas_profile_hmm import _pack_hmm_inputs
 
     B = len(chunk)
@@ -130,7 +132,7 @@ def _pack_chunk(segments, chunk, tp, indel_bias):
         flags[bi] = s.flags
     return _pack_hmm_inputs(levels, n_events, mu, sigma,
                             np.log(np.maximum(sigma, 1e-30)), n_kmers,
-                            epb, flags, indel_bias)
+                            epb, flags, indel_bias, kp=kp)
 
 
 def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
@@ -146,8 +148,8 @@ def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
 
     results: List[Optional[Tuple]] = [None] * len(segments)
     pending = []
-    for tp, chunk in _pow2_chunks(segments, 256):
-        packed, TP, B0, nev, nk = _pack_chunk(segments, chunk, tp,
+    for tp, kp, chunk in _pow2_chunks(segments, 256):
+        packed, TP, B0, nev, nk = _pack_chunk(segments, chunk, tp, kp,
                                               indel_bias)
         ke, meta = _profile_hmm_viterbi_call_packed(packed, TP)
         pending.append((chunk, ke.shape, jnp.concatenate(
@@ -231,9 +233,9 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
     # materialize — on remotely-attached chips each sync costs a full
     # relay round trip, which serialized syncs would pay per chunk
     pending = []
-    for tp, chunk in _pow2_chunks(segments, 512):
+    for tp, kp, chunk in _pow2_chunks(segments, 512):
         with profile_scope("segments.forward_pallas_dispatch"):
-            packed, TP, B0, _, _ = _pack_chunk(segments, chunk, tp,
+            packed, TP, B0, _, _ = _pack_chunk(segments, chunk, tp, kp,
                                                indel_bias)
             dev = _profile_hmm_forward_call_packed(packed, TP)
         pending.append((chunk, dev, B0))

@@ -266,7 +266,7 @@ def _pad_to_pow2(n, lo=8):
 
 
 def _pack_hmm_inputs(levels, n_events, mu, sigma, log_sigma, n_kmers,
-                     events_per_base, flags, indel_bias):
+                     events_per_base, flags, indel_bias, kp=None):
     """One [B, TP+3*KP+12] f32 array holding every kernel input — a single
     host->device transfer per call instead of eight (each transfer costs a
     relay round trip on remotely-attached chips).  Layout: ev | a | b2 |
@@ -284,8 +284,12 @@ def _pack_hmm_inputs(levels, n_events, mu, sigma, log_sigma, n_kmers,
     # per-call kmer-lane bucket: small windows (e.g. variants screening,
     # ~13 kmers) ride a 128-lane kernel instead of the 256-lane maximum,
     # halving the wire format and the per-row VPU work; one compile per
-    # (TP, KP) bucket
-    KP = _pad_to_pow2(K0, lo=128)
+    # (TP, KP) bucket.  256 is a hard ceiling: the Viterbi trace packs
+    # K-skip distances into uint8 clipped at 126, so wider kernels would
+    # backtrack wrong silently (callers split windows above 256 kmers —
+    # segments.py guards this).
+    KP = kp if kp is not None else _pad_to_pow2(K0, lo=128)
+    assert K0 <= KP <= 256, f"kmer width {K0} exceeds the 256-lane ceiling"
     # pad B to a power of two (not just x8): remainder chunks otherwise
     # compile a fresh kernel per arbitrary batch size, and remote compiles
     # cost minutes each

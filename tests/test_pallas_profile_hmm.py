@@ -84,3 +84,26 @@ def test_forward_scores_invariant_to_kmer_lane_bucket():
     s256 = profile_hmm_forward_pallas(lv, Ts, mu2, sd2, np.log(sd2), Ks,
                                       epb, 3)
     np.testing.assert_array_equal(s128, s256)
+
+
+@pytest.mark.parametrize("flags", [0, 3])
+def test_pallas_viterbi_matches_scan_wide_kernel(flags):
+    """Viterbi parity at the 256-lane kernel width (Kmax=200 -> KP=256):
+    the KP-sensitive code (prefix/head-recovery roll depths, uint8 dist
+    encoding, backtrack lane selects) must hold at the widest production
+    bucket (call-methylation groups reach ~221 kmers), not just the
+    128-lane one the other tests compile."""
+    from nanopolish_tpu.ops.pallas_profile_hmm import profile_hmm_viterbi_pallas
+    from nanopolish_tpu.ops.profile_hmm import (profile_hmm_viterbi,
+                                                viterbi_backtrack)
+
+    lv, Ts, mu, sd, Ks, epb = _batch(4, 200, 480, seed=13)
+    pal = profile_hmm_viterbi_pallas(lv, Ts, mu, sd, np.log(sd), Ks, epb,
+                                     flags)
+    _, traces = profile_hmm_viterbi(lv, Ts, mu, sd, np.log(sd), Ks, epb,
+                                    flags=flags, with_trace=True)
+    ref = viterbi_backtrack(np.asarray(traces), Ts, Ks)
+    for b in range(4):
+        np.testing.assert_array_equal(pal[b][0], ref[b][0])
+        np.testing.assert_array_equal(pal[b][1], ref[b][1])
+        assert pal[b][2] == ref[b][2]

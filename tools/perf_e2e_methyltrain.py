@@ -40,8 +40,9 @@ PERTURB = 4.0
 
 
 def main():
-    d = tempfile.mkdtemp(prefix="npt_mt_")
-    os.chdir(d)
+    ctx = tempfile.TemporaryDirectory(prefix="npt_mt_")
+    d = ctx.name
+    os.chdir(d)          # methyltrain writes its summary to the cwd
     pms = PoreModelSet.instance()
     true_cpg = pms.get_model("r9.4_450bps", "cpg", "template", 6)
 
@@ -113,6 +114,8 @@ def main():
         "err_before_pA": PERTURB,
         "err_after_pA_mean": round(float(np.mean(errs)), 2) if errs
         else None}), flush=True)
+    os.chdir("/")
+    ctx.cleanup()
 
 
 if __name__ == "__main__":
