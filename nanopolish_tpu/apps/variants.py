@@ -24,7 +24,8 @@ from typing import Dict, List, Optional, Sequence, TextIO, Tuple
 import numpy as np
 
 from ..alignment.alignment_db import AlignmentDB, EventSequence
-from ..alignment.segments import HMMSegment, forward_segments, make_segment
+from ..alignment.segments import (HMMSegment, forward_segments,
+                                  make_segment, segment_levels)
 from ..io.vcf import DEFAULT_INFO_FIELDS, Variant, VcfReader, VcfWriter
 from ..models.haplotype import Haplotype
 from ..models.hmm_input import HMMInputSequence
@@ -91,9 +92,21 @@ class ScoreBatcher:
         self._units: List[Tuple[int, int]] = []   # (start, count) into segments
         self._results: Optional[np.ndarray] = None
         self._indel_bias = indel_bias
+        # drift-corrected levels per (read, strand, event range): every
+        # haplotype/methylation alternative of a unit — and in screening,
+        # every candidate edit of a read — scores the same event slice
+        self._levels_cache: dict = {}
 
     def add(self, sequences: List[HMMInputSequence], data: EventSequence) -> int:
         start = len(self._segments)
+        lkey = (id(data.sr), data.strand, data.event_start_idx,
+                data.event_stop_idx)
+        levels = self._levels_cache.get(lkey)
+        if levels is None:
+            levels = segment_levels(data.sr, data.strand,
+                                    data.event_start_idx,
+                                    data.event_stop_idx)
+            self._levels_cache[lkey] = levels
         for hs in sequences:
             model = data.sr.get_model(data.strand, hs.alphabet.name) \
                 if hs.alphabet.name != "nucleotide" \
@@ -102,7 +115,8 @@ class ScoreBatcher:
             ranks = hs.kmer_ranks(k, data.rc)
             self._segments.append(make_segment(
                 data.sr, data.strand, ranks, data.event_start_idx,
-                data.event_stop_idx, model=model, flags=ALIGNMENT_FLAGS))
+                data.event_stop_idx, model=model, flags=ALIGNMENT_FLAGS,
+                levels=levels))
         self._units.append((start, len(sequences)))
         return len(self._units) - 1
 
