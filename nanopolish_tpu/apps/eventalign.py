@@ -153,6 +153,8 @@ def summarize_alignment(sr: SquiggleRead, strand_idx: int,
     model = sr.base_model[strand_idx]
     k = model.k
     scalings = sr.scalings[strand_idx]
+    rank_cache = _KMER_RANK_CACHE.setdefault(
+        (model.alphabet.name, model.alphabet.bases, k), {})
     prev_ref_pos = None
     for i, ea in enumerate(alignments):
         s.num_events += 1
@@ -165,7 +167,10 @@ def summarize_alignment(sr: SquiggleRead, strand_idx: int,
             s.num_steps += 1
         s.sum_duration += float(sr.get_duration(ea.event_idx, ea.strand_idx))
         if ea.hmm_state == "M":
-            rank = model.alphabet.kmer_rank(ea.model_kmer, k)
+            rank = rank_cache.get(ea.model_kmer)
+            if rank is None:
+                rank = model.alphabet.kmer_rank(ea.model_kmer, k)
+                rank_cache[ea.model_kmer] = rank
             mu, sd = sr.get_scaled_gaussian(model, ea.strand_idx, rank)
             level = sr.get_drift_scaled_level(ea.event_idx, ea.strand_idx)
             s.sum_z_score += (float(level) - float(mu)) / float(sd)
