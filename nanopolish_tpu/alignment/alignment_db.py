@@ -56,11 +56,19 @@ class AlignmentDB:
         self.sequence_records: List[SequenceAlignmentRecord] = []
         self.event_records: List[EventAlignmentRecord] = []
         self._reads: Dict[str, SquiggleRead] = {}
+        # scoring-unit memo for the loaded region: (sequence-set, event
+        # range) -> Forward score.  Valid as long as the region's reads
+        # and alignments are fixed, so load_region resets it.  The
+        # variants polishing loop re-screens candidates every round and
+        # re-scores the shared base haplotype once per candidate edit;
+        # both hit this cache (see apps/variants.py ScoreBatcher).
+        self.score_memo: Dict = {}
 
     # ---------------- loading ----------------
     def load_region(self, contig: str, start_position: int,
                     stop_position: int):
         """alignment_db.cpp:370-421."""
+        self.score_memo = {}
         self.region_contig = contig
         self.region_start = start_position
         contig_length = self._fai.length(contig)

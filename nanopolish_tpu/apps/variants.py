@@ -8,10 +8,15 @@ src/common/nanopolish_variant.cpp (score_variant_group :182-262,
 simple_call :279-493, score_variant_thresholded :765-799).
 
 TPU batching: every phase pools its (sequence-set x read-events) Forward
-scoring tasks into one padded device sweep.  The reference's per-variant
-early-exit threshold is unnecessary here (we score everything batched),
-so screening qualities are exact rather than truncated — decisions
-(quality > 0) are unchanged for variants the reference would accept.
+scoring tasks into padded device sweeps.  Screening implements the
+reference's score_variant_thresholded early exit (variant.cpp:765-799)
+batched: reads are consumed in chunks across ALL candidates at once and
+a candidate whose running sum falls below -screen_score_threshold stops
+scoring — accepted variants (quality > 0) get identical untruncated
+qualities.  Resolved unit scores are memoized per loaded region
+(AlignmentDB.score_memo), so the polishing loop's round-over-round
+re-screens and the shared base haplotype of the ~9 candidate edits per
+position are scored on device exactly once.
 """
 
 from __future__ import annotations
@@ -85,19 +90,38 @@ class ScoreBatcher:
     """Pools (sequence-set, event-range) scoring units; flush() runs one
     padded device sweep and resolves every unit to its
     profile_hmm_score_set value (log-mean over alternative sequences,
-    profile_hmm.cpp:32-56)."""
+    profile_hmm.cpp:32-56).
 
-    def __init__(self, indel_bias: float = 1.0):
+    With a `memo` dict (AlignmentDB.score_memo), resolved unit scores
+    are cached by (sequence set, read, strand, event range): the
+    polishing loop re-screens every candidate each round and scores the
+    shared base haplotype once per candidate edit at a position — both
+    are deterministic for a loaded region, so repeats skip the device
+    entirely."""
+
+    def __init__(self, indel_bias: float = 1.0, memo: Optional[dict] = None):
         self._segments: List[HMMSegment] = []
-        self._units: List[Tuple[int, int]] = []   # (start, count) into segments
+        # unit -> (start, count, memo_key) pending, or (None, value, None)
+        self._units: List[Tuple] = []
         self._results: Optional[np.ndarray] = None
         self._indel_bias = indel_bias
+        self._memo = memo
         # drift-corrected levels per (read, strand, event range): every
         # haplotype/methylation alternative of a unit — and in screening,
         # every candidate edit of a read — scores the same event slice
         self._levels_cache: dict = {}
 
     def add(self, sequences: List[HMMInputSequence], data: EventSequence) -> int:
+        key = None
+        if self._memo is not None:
+            key = (tuple((hs.seq, hs.alphabet.name) for hs in sequences),
+                   data.sr.read_name, data.strand, data.rc,
+                   data.event_start_idx, data.event_stop_idx,
+                   self._indel_bias)
+            hit = self._memo.get(key)
+            if hit is not None:
+                self._units.append((None, hit, None))
+                return len(self._units) - 1
         start = len(self._segments)
         lkey = (id(data.sr), data.strand, data.event_start_idx,
                 data.event_stop_idx)
@@ -117,7 +141,7 @@ class ScoreBatcher:
                 data.sr, data.strand, ranks, data.event_start_idx,
                 data.event_stop_idx, model=model, flags=ALIGNMENT_FLAGS,
                 levels=levels))
-        self._units.append((start, len(sequences)))
+        self._units.append((start, len(sequences), key))
         return len(self._units) - 1
 
     def flush(self):
@@ -125,10 +149,15 @@ class ScoreBatcher:
                                   indel_bias=self._indel_bias) \
             if self._segments else np.zeros(0, np.float32)
         out = np.zeros(len(self._units), np.float64)
-        for i, (start, count) in enumerate(self._units):
+        for i, (start, count, key) in enumerate(self._units):
+            if start is None:               # memo hit recorded in add()
+                out[i] = count
+                continue
             vals = scores[start:start + count].astype(np.float64)
             m = vals.max()
             out[i] = m + math.log(np.exp(vals - m).sum()) - math.log(count)
+            if self._memo is not None:
+                self._memo[key] = out[i]
         self._results = out
 
     def get(self, unit_idx: int) -> float:
@@ -136,38 +165,58 @@ class ScoreBatcher:
 
 
 def score_variants_batched(variant_jobs, methylation_types,
-                           indel_bias: float = 1.0) -> List[float]:
+                           indel_bias: float = 1.0,
+                           memo: Optional[dict] = None,
+                           screen_threshold: Optional[float] = None,
+                           chunk_reads: int = 8) -> List[float]:
     """Each job: (base_haplotype, variant, event_sequences).  Returns the
-    summed (variant - base) score over reads per job
-    (score_variant_thresholded semantics, without the early exit)."""
-    b = ScoreBatcher(indel_bias)
-    per_job_units = []
+    summed (variant - base) score over reads per job.
+
+    With `screen_threshold`, reads are consumed in chunks and a job whose
+    running sum falls below -threshold stops scoring further reads — the
+    reference's score_variant_thresholded early exit
+    (nanopolish_variant.cpp:765-799), batched: the reference checks after
+    every read, this checks after every chunk of `chunk_reads`, so every
+    variant the reference would accept gets the identical (untruncated)
+    quality and rejected ones are merely scored a few reads further.
+    Without it, every read is scored (exact sum)."""
+    prepared: List[Optional[Tuple]] = []
     for base_hap, variant, events in variant_jobs:
         var_hap = Haplotype(base_hap.ref_name, base_hap.ref_position,
                             base_hap.get_reference())
         var_hap.sequence = base_hap.sequence
         var_hap.coordinate_map = list(base_hap.coordinate_map)
         if not var_hap.apply_variant(variant):
-            per_job_units.append(None)
+            prepared.append(None)
             continue
         base_seqs = generate_methylated_alternatives(
             base_hap.get_sequence(), methylation_types)
         var_seqs = generate_methylated_alternatives(
             var_hap.get_sequence(), methylation_types)
-        units = [(b.add(base_seqs, ev), b.add(var_seqs, ev))
-                 for ev in events]
-        per_job_units.append(units)
-    b.flush()
-    out = []
-    for units in per_job_units:
-        if units is None:
-            out.append(float("-inf"))
-            continue
-        total = 0.0
-        for bu, vu in units:
-            total += b.get(vu) - b.get(bu)
-        out.append(total)
-    return out
+        prepared.append((base_seqs, var_seqs, events))
+
+    totals = [0.0 if p is not None else float("-inf") for p in prepared]
+    alive = [ji for ji, p in enumerate(prepared) if p is not None]
+    max_events = max((len(p[2]) for p in prepared if p is not None),
+                     default=0)
+    step = chunk_reads if screen_threshold is not None else max(max_events, 1)
+    for lo in range(0, max_events, step):
+        b = ScoreBatcher(indel_bias, memo=memo)
+        units = []
+        for ji in alive:
+            base_seqs, var_seqs, events = prepared[ji]
+            for ev in events[lo:lo + step]:
+                units.append((ji, b.add(base_seqs, ev), b.add(var_seqs, ev)))
+        if not units:
+            break
+        b.flush()
+        for ji, bu, vu in units:
+            totals[ji] += b.get(vu) - b.get(bu)
+        if screen_threshold is not None:
+            alive = [ji for ji in alive if totals[ji] > -screen_threshold]
+            if not alive:
+                break
+    return totals
 
 
 # ---------------------------------------------------------------------------
@@ -210,8 +259,10 @@ def generate_candidate_single_base_edits(alignments: AlignmentDB,
                             contig, calling_start, calling_end))
         for v in tmp:
             jobs.append((hap, v, events))
-    scores = score_variants_batched(jobs, opts.methylation_types,
-                                    opts.indel_bias)
+    scores = score_variants_batched(
+        jobs, opts.methylation_types, opts.indel_bias,
+        memo=alignments.score_memo,
+        screen_threshold=opts.screen_score_threshold)
     out = []
     for (hap, v, events), q in zip(jobs, scores):
         if q > 0:
@@ -242,8 +293,10 @@ def screen_variants_by_score(alignments: AlignmentDB,
                                                    calling_end)
         jobs.append((hap, v, events))
         kept.append(v)
-    scores = score_variants_batched(jobs, opts.methylation_types,
-                                    opts.indel_bias)
+    scores = score_variants_batched(
+        jobs, opts.methylation_types, opts.indel_bias,
+        memo=alignments.score_memo,
+        screen_threshold=opts.screen_score_threshold)
     out = []
     for v, q in zip(kept, scores):
         if q > 0:
@@ -295,7 +348,7 @@ def annotate_variants_with_all_support(variants, alignments: AlignmentDB,
     ref_hap = Haplotype(alignments.get_region_contig(),
                         alignments.get_region_start(),
                         alignments.get_reference())
-    b = ScoreBatcher(opts.indel_bias)
+    b = ScoreBatcher(opts.indel_bias, memo=alignments.score_memo)
     jobs = []
     for v in variants:
         calling_start = v.ref_position - opts.min_flanking_sequence
@@ -342,7 +395,8 @@ def annotate_variants_with_all_support(variants, alignments: AlignmentDB,
 # ---------------------------------------------------------------------------
 
 def score_variant_group(group: VariantGroup, base_haplotype: Haplotype,
-                        events: List[EventSequence], opts: Opts):
+                        events: List[EventSequence], opts: Opts,
+                        memo: Optional[dict] = None):
     """nanopolish_variant.cpp:182-262, batched over
     (haplotype-combination x read)."""
     num_variants = group.get_num_variants()
@@ -379,7 +433,7 @@ def score_variant_group(group: VariantGroup, base_haplotype: Haplotype,
         read_ids.append(rid)
         group.set_read_strand(rid, ev.rc)
 
-    b = ScoreBatcher(opts.indel_bias)
+    b = ScoreBatcher(opts.indel_bias, memo=memo)
     units = []
     for ri, ev in enumerate(events):
         for hap, vc_idx in haplotypes:
@@ -696,7 +750,8 @@ def call_haplotype_from_candidates(alignments: AlignmentDB,
             events = alignments.get_event_subsequences(
                 alignments.get_region_contig(), calling_start, calling_end)
             gid = db.add_new_group(candidate_variants[curr:end])
-            score_variant_group(db.get_group(gid), calling_hap, events, opts)
+            score_variant_group(db.get_group(gid), calling_hap, events, opts,
+                                memo=alignments.score_memo)
         else:
             print(f"Warning: {end - curr} variants in span, region not "
                   f"called [{calling_start} {calling_end}]", file=sys.stderr)
