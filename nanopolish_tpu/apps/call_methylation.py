@@ -100,6 +100,21 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
     rc_ref = alphabet.reverse_complement(ref_seq)
     ref_ranks: Dict[int, np.ndarray] = {}
     rc_ref_ranks: Dict[int, np.ndarray] = {}
+    # the METHYLATED subsequences are *usually* slices of the methylated
+    # whole reference too — the only exception is a recognition site
+    # straddling a subsequence boundary, where local methylation differs
+    # from whole-read methylation.  Compute whole-read methylated ranks
+    # once and reuse per group when the (cheap) string slice matches.
+    meth_ref = alphabet.methylate(ref_seq)
+    rc_meth_ref = alphabet.reverse_complement(meth_ref)
+    meth_ranks: Dict[int, np.ndarray] = {}
+    rc_meth_ranks: Dict[int, np.ndarray] = {}
+    # a modified char within site_halo of a window boundary can bleed
+    # into the window's site-aware reverse complement even when the
+    # forward window string matches (e.g. CG straddling the left edge:
+    # forward keeps the G, rc gains the mirrored M) — require a clean
+    # halo on both sides before reusing whole-read arrays
+    site_halo = max(len(s) for s in alphabet.recognition_sites) - 1
     for strand_idx in (0, 1):
         if not sr.has_events_for_strand(strand_idx):
             continue
@@ -158,9 +173,30 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
             unmeth._rank_cache[(k, True)] = \
                 rc_ref_ranks[k][s0:s0 + nk_sub][::-1].copy()
             m_subseq = alphabet.methylate(subseq)
-            meth = HMMInputSequence(m_subseq,
-                                    alphabet.reverse_complement(m_subseq),
-                                    alphabet)
+            lh = max(0, sub_start_pos - site_halo)
+            if (m_subseq == meth_ref[sub_start_pos:sub_end_pos + 1]
+                    and meth_ref[lh:sub_start_pos]
+                    == ref_seq[lh:sub_start_pos]
+                    and meth_ref[sub_end_pos + 1:sub_end_pos + 1 + site_halo]
+                    == ref_seq[sub_end_pos + 1:sub_end_pos + 1 + site_halo]):
+                # no recognition site straddles the window boundary:
+                # ranks (both directions) are slices of the whole-read
+                # methylated rank arrays, rc is the mirrored slice
+                meth = HMMInputSequence(
+                    m_subseq, rc_meth_ref[s0:n_ref - sub_start_pos],
+                    alphabet)
+                if k not in meth_ranks:
+                    meth_ranks[k] = alphabet.seq_to_kmer_ranks(meth_ref, k)
+                    rc_meth_ranks[k] = alphabet.seq_to_kmer_ranks(
+                        rc_meth_ref, k)
+                meth._rank_cache[(k, False)] = \
+                    meth_ranks[k][sub_start_pos:sub_start_pos + nk_sub]
+                meth._rank_cache[(k, True)] = \
+                    rc_meth_ranks[k][s0:s0 + nk_sub][::-1].copy()
+            else:
+                meth = HMMInputSequence(m_subseq,
+                                        alphabet.reverse_complement(m_subseq),
+                                        alphabet)
             rc = event_record.rc
             levels = segment_levels(sr, strand_idx, e1, e2)
             for hs in (unmeth, meth):

@@ -51,14 +51,19 @@ def compute_tstat(sums: np.ndarray, sumsqs: np.ndarray, d_length: int, w_length:
     eta = np.float32(np.finfo(np.float32).tiny)
     wf = np.float32(w_length)
 
-    i = np.arange(w_length, d_length - w_length + 1)
-    sum1 = sums[i].copy()
-    sumsq1 = sumsqs[i].copy()
-    gt = i > w_length
-    sum1[gt] -= sums[i[gt] - w_length]
-    sumsq1[gt] -= sumsqs[i[gt] - w_length]
-    sum2 = (sums[i + w_length] - sums[i]).astype(np.float32)
-    sumsq2 = (sumsqs[i + w_length] - sumsqs[i]).astype(np.float32)
+    # i runs w_length .. d_length - w_length inclusive; every gather below
+    # is a contiguous slice of the prefix arrays (no fancy indexing)
+    w, n = w_length, d_length
+    mid = sums[w:n - w + 1]
+    midsq = sumsqs[w:n - w + 1]
+    sum1 = mid.copy()
+    sumsq1 = midsq.copy()
+    # at i == w_length the reference keeps the raw prefix (no left window
+    # subtracted); for i > w_length it subtracts sums[i - w_length]
+    sum1[1:] -= sums[1:n - 2 * w + 1]
+    sumsq1[1:] -= sumsqs[1:n - 2 * w + 1]
+    sum2 = (sums[2 * w:n + 1] - mid).astype(np.float32)
+    sumsq2 = (sumsqs[2 * w:n + 1] - midsq).astype(np.float32)
     mean1 = (sum1 / wf).astype(np.float32)
     mean2 = sum2 / wf
     combined_var = (sumsq1 / wf).astype(np.float32) - mean1 * mean1 + sumsq2 / wf - mean2 * mean2
@@ -68,7 +73,7 @@ def compute_tstat(sums: np.ndarray, sumsqs: np.ndarray, d_length: int, w_length:
     # the reference zeroes the w_length-sized boundaries FIRST, then its main
     # loop writes i in [w_length, d_length - w_length] inclusive, so the
     # value at i == d_length - w_length is the computed one
-    tstat[i] = vals
+    tstat[w:n - w + 1] = vals
     return tstat
 
 
@@ -193,16 +198,38 @@ def madf(x: np.ndarray, med: Optional[float] = None) -> float:
     return medianf(np.abs(np.asarray(x, dtype=np.float32) - np.float32(m))) * 1.4826
 
 
+def _row_quantilef(sorted_rows: np.ndarray, p: float) -> np.ndarray:
+    """quantilef applied per row of a pre-sorted float32 matrix, with the
+    exact interpolation arithmetic of the scalar version (float64 mix of
+    float32 elements, same expression order)."""
+    nx = sorted_rows.shape[1]
+    idx = int(p * (nx - 1))
+    remf = p * (nx - 1) - idx
+    if idx < nx - 1:
+        return (1.0 - remf) * sorted_rows[:, idx] + remf * sorted_rows[:, idx + 1]
+    return sorted_rows[:, idx].astype(np.float64)
+
+
 def trim_raw_by_mad(raw: np.ndarray, start: int, end: int, chunk_size: int, perc: float):
     """Trim low-variation leader/trailer chunks by thresholding per-chunk MAD
     (scrappie_common.c:156-190). Returns (start, end) sample bounds."""
     nsample = end - start
     nchunk = nsample // chunk_size
     end = nchunk * chunk_size
-    mads = np.empty(nchunk, dtype=np.float32)
     x = np.asarray(raw, dtype=np.float32)
-    for i in range(nchunk):
-        mads[i] = madf(x[start + i * chunk_size : start + (i + 1) * chunk_size])
+    if chunk_size >= 2 and nchunk > 0:
+        # one sorted-matrix pass over all chunks instead of a per-chunk
+        # madf() loop; bit-identical to the scalar path (same float64
+        # interpolation of float32 order statistics, median cast to
+        # float32 before the deviation subtraction, result stored float32)
+        chunks = x[start:start + nchunk * chunk_size].reshape(nchunk, chunk_size)
+        meds = _row_quantilef(np.sort(chunks, axis=1), 0.5).astype(np.float32)
+        dev = np.abs(chunks - meds[:, None])
+        mads = (_row_quantilef(np.sort(dev, axis=1), 0.5) * 1.4826).astype(np.float32)
+    else:
+        mads = np.empty(nchunk, dtype=np.float32)
+        for i in range(nchunk):
+            mads[i] = madf(x[start + i * chunk_size : start + (i + 1) * chunk_size])
     thresh = quantilef(mads, perc)
     for i in range(nchunk):
         if mads[i] > thresh:

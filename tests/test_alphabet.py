@@ -303,3 +303,47 @@ def test_reverse_complement_vectorized_matches_scan():
             s = alpha.methylate(s)
             assert alpha.reverse_complement(s) == scan_rc(alpha, s), \
                 (alpha.name, s)
+
+
+def test_methylated_window_slice_reuse_identity():
+    """The call-methylation hot path reuses whole-read methylated kmer
+    ranks for a window whenever methylate(sub) == methylate(whole)[a:b]
+    (apps/call_methylation.py collect_read_tasks).  Property: under that
+    guard, both rank directions and the rc sequence of the locally
+    methylated window equal the corresponding slices of the whole-read
+    arrays — for every methylation alphabet."""
+    rng = np.random.default_rng(11)
+    for alpha in (METHYL_CPG_ALPHABET, METHYL_DAM_ALPHABET,
+                  METHYL_DCM_ALPHABET, METHYL_GPC_ALPHABET):
+        k = 6
+        reused = 0
+        for trial in range(60):
+            n = int(rng.integers(40, 200))
+            ref = "".join(rng.choice(list("ACGT"), size=n))
+            meth_ref = alpha.methylate(ref)
+            rc_meth_ref = alpha.reverse_complement(meth_ref)
+            meth_ranks = alpha.seq_to_kmer_ranks(meth_ref, k)
+            rc_meth_ranks = alpha.seq_to_kmer_ranks(rc_meth_ref, k)
+            a = int(rng.integers(0, n - k - 1))
+            b = int(rng.integers(a + k, n))         # inclusive end
+            sub = ref[a:b + 1]
+            m_sub = alpha.methylate(sub)
+            halo = max(len(x) for x in alpha.recognition_sites) - 1
+            lh = max(0, a - halo)
+            if not (m_sub == meth_ref[a:b + 1]
+                    and meth_ref[lh:a] == ref[lh:a]
+                    and meth_ref[b + 1:b + 1 + halo] == ref[b + 1:b + 1 + halo]):
+                continue                            # guard rejects: local path
+            reused += 1
+            nk = b + 1 - a - k + 1
+            s0 = n - 1 - b
+            assert alpha.reverse_complement(m_sub) == \
+                rc_meth_ref[s0:n - a], (alpha.name, ref, a, b)
+            np.testing.assert_array_equal(
+                alpha.seq_to_kmer_ranks(m_sub, k),
+                meth_ranks[a:a + nk])
+            np.testing.assert_array_equal(
+                alpha.seq_to_kmer_ranks(
+                    alpha.reverse_complement(m_sub), k)[::-1],
+                rc_meth_ranks[s0:s0 + nk][::-1])
+        assert reused > 10, alpha.name
