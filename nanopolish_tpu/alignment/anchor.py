@@ -20,7 +20,9 @@ _M, _I, _D, _N, _S, _H, _P, _EQ, _X = range(9)
 def get_aligned_segments(rec: BamRecord, read_stride: int = 1
                          ) -> List[np.ndarray]:
     """Each segment is an int64 array [n, 2] of (ref_pos, read_pos)."""
-    segments: List[List[Tuple[int, int]]] = [[]]
+    # aligned runs are arithmetic in both coordinates, so each M/=/X op
+    # contributes two aranges instead of a per-pair Python loop
+    segments: List[List[np.ndarray]] = [[]]
     read_pos = 0
     ref_pos = rec.pos
     for op, length in rec.cigar:
@@ -45,14 +47,15 @@ def get_aligned_segments(rec: BamRecord, read_stride: int = 1
         else:
             raise ValueError(f"unhandled cigar op {op}")
         if is_aligned:
-            for _ in range(length):
-                segments[-1].append((ref_pos, read_pos))
-                read_pos += read_inc
-                ref_pos += ref_inc
-        else:
-            read_pos += read_inc * length
-            ref_pos += ref_inc * length
-    return [np.asarray(s, np.int64).reshape(-1, 2) for s in segments]
+            run = np.empty((length, 2), np.int64)
+            ar = np.arange(length, dtype=np.int64)
+            run[:, 0] = ref_pos + ar
+            run[:, 1] = read_pos + read_inc * ar
+            segments[-1].append(run)
+        read_pos += read_inc * length
+        ref_pos += ref_inc * length
+    return [np.concatenate(s, axis=0) if s
+            else np.empty((0, 2), np.int64) for s in segments]
 
 
 def trim_pairs_to_ref_region(pairs: np.ndarray, ref_start: int,

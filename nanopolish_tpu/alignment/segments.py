@@ -63,8 +63,22 @@ def make_segment(read: SquiggleRead, strand: int, ranks: np.ndarray,
     s = read.scalings[strand]
     if levels is None:
         levels = segment_levels(read, strand, event_start, event_stop)
-    mu = s.scale * model.level_mean[ranks] + s.shift
-    sigma = model.level_stdv[ranks] * s.var
+    # read-calibrated Gaussian tables hoisted per (read, strand, model):
+    # every segment of the same read then costs one gather per array.
+    # Identity keys are sound because calibration REPLACES
+    # read.scalings[strand] (calibration.py:56) rather than mutating it.
+    cache = getattr(read, "_segment_model_cache", None)
+    if cache is None:
+        cache = {}
+        read._segment_model_cache = cache
+    entry = cache.get(strand)
+    if entry is None or entry[0] is not model or entry[1] is not s:
+        entry = (model, s,
+                 (s.scale * model.level_mean + s.shift).astype(np.float32),
+                 (model.level_stdv * s.var).astype(np.float32))
+        cache[strand] = entry
+    mu = entry[2][ranks]
+    sigma = entry[3][ranks]
     return HMMSegment(levels=levels,
                       mu=np.asarray(mu, np.float32),
                       sigma=np.asarray(sigma, np.float32),
