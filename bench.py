@@ -151,12 +151,18 @@ def bench_cpu():
 
     f(ptr(ev[0]), int(n_events[0]), ptr(mu[0]), ptr(sigma[0]),
       ptr(log_sigma[0]), int(n_kmers[0]))
-    t0 = time.perf_counter()
-    for b in range(CPU_SAMPLE_READS):
-        r = f(ptr(ev[b]), int(n_events[b]), ptr(mu[b]), ptr(sigma[b]),
-              ptr(log_sigma[b]), int(n_kmers[b]))
-        assert r > 0
-    per_read = (time.perf_counter() - t0) / CPU_SAMPLE_READS
+    # a single 3-read sample swings ~35% with host load; take the
+    # baseline's best (fastest) repetition so the denominator is stable
+    # and the reported ratio is its most conservative value
+    per_read = float("inf")
+    for _ in range(8):
+        t0 = time.perf_counter()
+        for b in range(CPU_SAMPLE_READS):
+            r = f(ptr(ev[b]), int(n_events[b]), ptr(mu[b]), ptr(sigma[b]),
+                  ptr(log_sigma[b]), int(n_kmers[b]))
+            assert r > 0
+        per_read = min(per_read,
+                       (time.perf_counter() - t0) / CPU_SAMPLE_READS)
     return CPU_THREADS_BASELINE / per_read     # reads/s at 16 threads
 
 
