@@ -18,6 +18,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops import event_detect
@@ -245,10 +246,11 @@ def _process_chunk_impl(chunk, results, stats: ReadStats):
         ranks_pad[bi, :nk] = ranks
         n_kmers[bi] = nk
 
-    # MoM scaling (device)
+    # MoM scaling (device) — fetch both [B] vectors as ONE transfer;
+    # each materialization pays a full relay round trip on remote rigs
     shift, scale = estimate_scalings_mom(ev_mean, n_events, lvl_mean, n_kmers)
-    shift = np.asarray(shift)
-    scale = np.asarray(scale)
+    ss = np.asarray(jnp.stack([shift, scale]))
+    shift, scale = ss[0], ss[1]
 
     # scaled gaussians for the banded aligner (var=1, drift=0 at this stage)
     mu = scale[:, None] * lvl_mean + shift[:, None]
@@ -270,11 +272,13 @@ def _process_chunk_impl(chunk, results, stats: ReadStats):
     times = times - ev_time[:, :1]
     recal = recalibrate(levels, times, lvl_mean, lvl_stdv, m_mask,
                         scale_var=True, scale_drift=False)
-    r_shift = np.asarray(recal.shift)
-    r_scale = np.asarray(recal.scale)
-    r_drift = np.asarray(recal.drift)
-    r_var = np.asarray(recal.var)
-    r_ok = np.asarray(recal.recalibrated)
+    # one packed transfer for the five [B] result vectors (the bool
+    # round-trips exactly through float32 0.0/1.0)
+    rr = np.asarray(jnp.stack([
+        recal.shift, recal.scale, recal.drift, recal.var,
+        recal.recalibrated.astype(jnp.float32)]))
+    r_shift, r_scale, r_drift, r_var = rr[0], rr[1], rr[2], rr[3]
+    r_ok = rr[4] != 0.0
 
     for bi, (i, inp, evt, rna, ranks, model, seq, samples, tstart) in enumerate(chunk):
         nk = int(n_kmers[bi])
