@@ -211,7 +211,7 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
                  lps_ref, lpt_ref,
                  trace_ref, lle_ref, bests_ref, beste_ref,
                  s_prev, s_prev2, ew, kmu, ksig, kc,
-                 ll_e, r_prev, best_s, best_e, stage, Tp, nsplit):
+                 ll_e, up_prev, best_s, best_e, stage, Tp, nsplit):
     i = pl.program_id(0)
     B = s_prev.shape[0]
     Bs = B // nsplit                                   # reads per chain
@@ -226,7 +226,8 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
         # band 1 (= move_down): first-event trim at offset 50
         s_prev[:] = jnp.where(off == HALF_BANDWIDTH, LP_TRIM, NEG_INF)
         ll_e[:] = jnp.full((B, 1), HALF_BANDWIDTH, jnp.int32)
-        r_prev[:] = jnp.zeros((B, 1), jnp.int32)
+        # up(band 1) = band 0 scores unshifted (band 1 is a down move)
+        up_prev[:] = jnp.where(off == HALF_BANDWIDTH, 0.0, NEG_INF)
         best_s[:] = jnp.full((B, 1), NEG_INF, jnp.float32)
         best_e[:] = jnp.zeros((B, 1), jnp.int32)
 
@@ -245,20 +246,22 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
     need_end = jnp.any((prev_llk + CHUNK >= nk_full - BANDWIDTH) &
                        (prev_llk <= nk_full - 1))
 
-    def band(bi, parity, with_trim_end, ctx, st):
+    def band(bi, parity, shift, with_trim_end, ctx, st):
         """One band as a pure function of the carried state tuple — no
         scratch access inside the unrolled group, so consecutive bands
         chain through registers instead of VMEM store->load turnarounds
         (measured: the ablated-to-nothing kernel ran at ~88% of the full
         kernel's time when every band round-tripped scratch).  bi is
-        traced, parity is a Python constant.  Returns (tr, new state).
+        traced, parity and shift are Python constants.  Returns the
+        pre-shifted 2-bit trace (so the packer needs no per-band shift
+        op) and the new state.
 
         ctx carries the split's loop-invariant rows (nev/nk columns and
         the lane-broadcast transition terms, hoisted once per grid step
         so no [Bs,1]->[Bs,LANES] relayout rides the per-band chain)."""
         nev, nk, lp_stay_w, lp_step_w = ctx
         (sp, sp2, ew_v, kmu_v, ksig_v, kc_v,
-         ll_e_v, r_prev_v, best_s_v, best_e_v) = st
+         ll_e_v, up_prev_v, best_s_v, best_e_v) = st
 
         # --- adaptive placement (raw_loader.cpp:175-195) ---
         ll = sp[:, 0:1]
@@ -279,15 +282,16 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
             kc_v = jnp.where(right_w, _roll_l(kc_v), kc_v)
 
         # --- neighbor alignment (circular roll junk only reaches the
-        # masked lanes >= 100, which hold -inf in s_prev/s_prev2) ---
-        sp_l = _roll_l(sp)
-        sp_r = pltpu.roll(sp, 1, 1)
-        up = jnp.where(right_b, sp_l, sp)
-        left = jnp.where(right_b, sp, sp_r)
-        amt = r_prev_v + r_i - 1                       # in {-1, 0, 1}
-        amt_w = jnp.broadcast_to(amt, (amt.shape[0], LANES))
-        diag = jnp.where(amt_w == 1, _roll_l(sp2),
-                         jnp.where(amt_w == 0, sp2, pltpu.roll(sp2, 1, 1)))
+        # masked lanes >= 100, which hold -inf in s_prev/s_prev2).
+        # left and diag derive from `up` and the carried previous band's
+        # `up` by exact circular-roll algebra (left = right ? sp :
+        # roll_r(sp) == roll_r(up) in both cases since roll_r(roll_l(x))
+        # == x; diag's 3-way amt select == right ? up_prev :
+        # roll_r(up_prev) by the same identities), which drops two rolls,
+        # two selects and the amt column->lane broadcast per band ---
+        up = jnp.where(right_b, _roll_l(sp), sp)
+        left = pltpu.roll(up, 1, 1)
+        diag = jnp.where(right_b, up_prev_v, pltpu.roll(up_prev_v, 1, 1))
 
         # --- emission in the reference's f32 operation order ---
         if "femit" not in _ABLATE:
@@ -303,8 +307,12 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
         m2 = jnp.maximum(sd, su)
         m3 = jnp.maximum(m2, sl)
         if "ftrace" not in _ABLATE:
-            tr = jnp.where(sl >= m2, FROM_L,
-                           jnp.where(su >= sd, FROM_U, FROM_D))  # L > U > D
+            # 2-bit codes pre-shifted to this band's slot in the packed
+            # int32 (select-of-constants with int32 wraparound at
+            # shift=30; L > U > D tie-break)
+            cL = np.int32(np.uint32((FROM_L << shift) & 0xFFFFFFFF))
+            cU = np.int32(np.uint32((FROM_U << shift) & 0xFFFFFFFF))
+            tr = jnp.where(sl >= m2, cL, jnp.where(su >= sd, cU, 0))
         else:
             tr = jnp.zeros((Bs, LANES), jnp.int32)
         cell = m3
@@ -320,7 +328,9 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
             trim_val = LP_TRIM * (ei_trim.astype(jnp.float32) + 1.0)
             m_tr = (lanes == o_trim) & off_ok
             cell = jnp.where(m_tr, jnp.where(ei_ok, trim_val, NEG_INF), cell)
-            tr = jnp.where(m_tr & ei_ok, FROM_U, tr)
+            tr = jnp.where(
+                m_tr & ei_ok,
+                np.int32(np.uint32((FROM_U << shift) & 0xFFFFFFFF)), tr)
 
         cell = jnp.where(lane_hi, NEG_INF, cell)
 
@@ -338,17 +348,16 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
             best_s_v = jnp.where(better, endsc, best_s_v)
             best_e_v = jnp.where(better, ei_end, best_e_v)
 
-        # band decision bit rides lane 127 (unused by the 100-wide band);
-        # r_i == right as int, so reuse the hoisted broadcast
+        # band decision bit rides lane 127 (unused by the 100-wide band)
         if "ftrace" not in _ABLATE:
             tr = jnp.where(lanes == LANES - 1,
-                           right_b.astype(jnp.int32), tr)
+                           jnp.where(right_b, 1 << shift, 0), tr)
 
         return tr, (cell, sp, ew_v, kmu_v, ksig_v, kc_v,
-                    ll_e_new, r_i, best_s_v, best_e_v)
+                    ll_e_new, up, best_s_v, best_e_v)
 
     scratches = (s_prev, s_prev2, ew, kmu, ksig, kc,
-                 ll_e, r_prev, best_s, best_e)
+                 ll_e, up_prev, best_s, best_e)
 
     def split_ctx(s):
         a, b = s * Bs, (s + 1) * Bs
@@ -383,10 +392,10 @@ def _fill_kernel(evr_ref, tmu_ref, tsig_ref, tc_ref, nev_ref, nk_ref,
         for m in range(PACK):
             # bi0, g*PACK and PACK are all even, so rem(bi, 2) == m & 1
             for s in range(nsplit):
-                tr, sts[s] = band(bi0 + c0 + m, m & 1, with_trim_end,
+                tr, sts[s] = band(bi0 + c0 + m, m & 1, 2 * m, with_trim_end,
                                   ctxs[s], sts[s])
                 if "ftrace" not in _ABLATE:
-                    accs[s] = accs[s] | jnp.left_shift(tr, 2 * m)
+                    accs[s] = accs[s] | tr
         for s in range(nsplit):
             trace_ref[g, s * Bs:(s + 1) * Bs, :] = accs[s]
         return tuple(sts)
@@ -663,7 +672,7 @@ def _fill_call(evr, tmu, tsig, tc, nev, nk, lps, lpt, Tp, interpret=False,
             pltpu.VMEM((B, WIN), jnp.float32),     # ksig
             pltpu.VMEM((B, WIN), jnp.float32),     # kc
             pltpu.VMEM((B, 1), jnp.int32),         # ll_e
-            pltpu.VMEM((B, 1), jnp.int32),         # r_prev
+            pltpu.VMEM((B, LANES), jnp.float32),   # up_prev
             pltpu.VMEM((B, 1), jnp.float32),       # best_s
             pltpu.VMEM((B, 1), jnp.int32),         # best_e
             pltpu.VMEM((B, 384), jnp.float32),     # refill staging
