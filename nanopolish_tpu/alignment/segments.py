@@ -99,12 +99,19 @@ def _bucket_indices(segments: Sequence[HMMSegment], tq: int, kq: int):
     return buckets
 
 
-def _pow2_chunks(segments, chunk_cap):
+def _pow2_chunks(segments, chunk_cap, vmem_budget: int = 0,
+                 viterbi: bool = False):
     """Bucket segment indices by power-of-two padded event length AND
     kmer-lane width, then cut each bucket into dispatch chunks (shared
     by the forward and viterbi Pallas drains).  Bucketing by kmer width
     keeps small windows (variants screening, ~13 kmers) on the 128-lane
-    kernel even when a batch also holds wide windows."""
+    kernel even when a batch also holds wide windows.
+
+    When vmem_budget (bytes) is given, the per-call batch cap is derived
+    from it instead of the fixed chunk_cap: every dispatch costs a full
+    relay round trip on remotely-attached chips, so one bucket should
+    ride as FEW calls as VMEM allows (chunk_cap then acts as a floor so
+    remainder batches keep power-of-two compiled shapes)."""
     buckets = {}
     for i, s in enumerate(segments):
         tp = 128
@@ -115,8 +122,21 @@ def _pow2_chunks(segments, chunk_cap):
             kp *= 2
         buckets.setdefault((tp, kp), []).append(i)
     for (tp, kp), idxs in buckets.items():
-        for lo in range(0, len(idxs), chunk_cap):
-            yield tp, kp, idxs[lo:lo + chunk_cap]
+        cap = chunk_cap
+        if vmem_budget:
+            if viterbi:
+                # the Viterbi traces dominate per-step VMEM: two
+                # (128, B, kp) uint8 grid blocks, double-buffered
+                bytes_per_seg = 4 * 128 * kp + 4 * (tp + 3 * kp + 12)
+            else:
+                # wire row (tp + 3*kp + 12 f32) + 4 [1, kp] f32 scratch
+                bytes_per_seg = 4 * (tp + 3 * kp + 12) + 16 * kp
+            while cap * 2 * bytes_per_seg <= vmem_budget and cap < 4096:
+                cap *= 2
+            while cap > 8 and cap * bytes_per_seg > vmem_budget:
+                cap //= 2
+        for lo in range(0, len(idxs), cap):
+            yield tp, kp, idxs[lo:lo + cap]
 
 
 def _pack_chunk(segments, chunk, tp, kp, indel_bias):
@@ -162,7 +182,8 @@ def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
 
     results: List[Optional[Tuple]] = [None] * len(segments)
     pending = []
-    for tp, kp, chunk in _pow2_chunks(segments, 256):
+    for tp, kp, chunk in _pow2_chunks(segments, 256, vmem_budget=45 << 20,
+                                      viterbi=True):
         packed, TP, B0, nev, nk = _pack_chunk(segments, chunk, tp, kp,
                                               indel_bias)
         ke, meta = _profile_hmm_viterbi_call_packed(packed, TP)
@@ -247,7 +268,7 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
     # materialize — on remotely-attached chips each sync costs a full
     # relay round trip, which serialized syncs would pay per chunk
     pending = []
-    for tp, kp, chunk in _pow2_chunks(segments, 512):
+    for tp, kp, chunk in _pow2_chunks(segments, 512, vmem_budget=45 << 20):
         with profile_scope("segments.forward_pallas_dispatch"):
             packed, TP, B0, _, _ = _pack_chunk(segments, chunk, tp, kp,
                                                indel_bias)

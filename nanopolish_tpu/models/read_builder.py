@@ -216,6 +216,24 @@ def _process_chunk(chunk, results, stats: ReadStats):
         _process_chunk_impl(chunk, results, stats)
 
 
+def _ingest_fused_enabled() -> bool:
+    """The fused single-fetch ingest (ops/ingest_fused) replaces the
+    3-sync legacy chain exactly when the exact Pallas kernel would be
+    the banded backend anyway (same selection as _banded_align)."""
+    import os
+
+    import jax
+
+    if os.environ.get("NPT_INGEST_FUSED", "1") == "0":
+        return False
+    impl = os.environ.get("NPT_BANDED_IMPL", "auto")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if impl in ("pallas", "epoch") or (impl == "auto" and on_tpu and
+                                       os.environ.get("NPT_BANDED_FAST")):
+        return False
+    return impl == "exact" or (impl == "auto" and on_tpu)
+
+
 def _process_chunk_impl(chunk, results, stats: ReadStats):
     B = len(chunk)
     T = _bucket_dims(max(len(w[2]) for w in chunk))
@@ -246,39 +264,49 @@ def _process_chunk_impl(chunk, results, stats: ReadStats):
         ranks_pad[bi, :nk] = ranks
         n_kmers[bi] = nk
 
-    # MoM scaling (device) — fetch both [B] vectors as ONE transfer;
-    # each materialization pays a full relay round trip on remote rigs
-    shift, scale = estimate_scalings_mom(ev_mean, n_events, lvl_mean, n_kmers)
-    ss = np.asarray(jnp.stack([shift, scale]))
-    shift, scale = ss[0], ss[1]
+    if _ingest_fused_enabled():
+        from ..ops.ingest_fused import ingest_align_recalibrate
+        r = ingest_align_recalibrate(ev_mean, ev_time, n_events, lvl_mean,
+                                     lvl_stdv, ranks_pad, n_kmers)
+        b2e_start, b2e_stop = r.b2e_start, r.b2e_stop
+        failed_align, events_per_base = r.failed, r.events_per_base
+        r_shift, r_scale, r_drift, r_var = r.shift, r.scale, r.drift, r.var
+        r_ok = r.recal_ok
+    else:
+        # MoM scaling (device) — fetch both [B] vectors as ONE transfer;
+        # each materialization pays a full relay round trip on remote rigs
+        shift, scale = estimate_scalings_mom(ev_mean, n_events, lvl_mean,
+                                             n_kmers)
+        ss = np.asarray(jnp.stack([shift, scale]))
+        shift, scale = ss[0], ss[1]
 
-    # scaled gaussians for the banded aligner (var=1, drift=0 at this stage)
-    mu = scale[:, None] * lvl_mean + shift[:, None]
-    sigma = lvl_stdv
-    log_sigma = np.log(sigma)
+        # scaled gaussians for the banded aligner (var=1, drift=0 here)
+        mu = scale[:, None] * lvl_mean + shift[:, None]
+        sigma = lvl_stdv
+        log_sigma = np.log(sigma)
 
-    res = _banded_align(ev_mean, n_events, mu, sigma, log_sigma, n_kmers)
-    b2e_start = np.asarray(res.b2e_start)
-    b2e_stop = np.asarray(res.b2e_stop)
-    failed_align = np.asarray(res.failed)
-    events_per_base = np.asarray(res.events_per_base)
+        res = _banded_align(ev_mean, n_events, mu, sigma, log_sigma, n_kmers)
+        b2e_start = np.asarray(res.b2e_start)
+        b2e_stop = np.asarray(res.b2e_stop)
+        failed_align = np.asarray(res.failed)
+        events_per_base = np.asarray(res.events_per_base)
 
-    # --- recalibration inputs: 'M' events ---
-    m_mask = mstate_events_batch(b2e_start, b2e_stop, ranks_pad, n_kmers)
-    ev_idx = np.clip(b2e_start, 0, T - 1)
-    levels = np.take_along_axis(ev_mean, ev_idx, axis=1)
-    times = np.take_along_axis(ev_time, ev_idx, axis=1)
-    # time relative to first event (squiggle_read.h get_time)
-    times = times - ev_time[:, :1]
-    recal = recalibrate(levels, times, lvl_mean, lvl_stdv, m_mask,
-                        scale_var=True, scale_drift=False)
-    # one packed transfer for the five [B] result vectors (the bool
-    # round-trips exactly through float32 0.0/1.0)
-    rr = np.asarray(jnp.stack([
-        recal.shift, recal.scale, recal.drift, recal.var,
-        recal.recalibrated.astype(jnp.float32)]))
-    r_shift, r_scale, r_drift, r_var = rr[0], rr[1], rr[2], rr[3]
-    r_ok = rr[4] != 0.0
+        # --- recalibration inputs: 'M' events ---
+        m_mask = mstate_events_batch(b2e_start, b2e_stop, ranks_pad, n_kmers)
+        ev_idx = np.clip(b2e_start, 0, T - 1)
+        levels = np.take_along_axis(ev_mean, ev_idx, axis=1)
+        times = np.take_along_axis(ev_time, ev_idx, axis=1)
+        # time relative to first event (squiggle_read.h get_time)
+        times = times - ev_time[:, :1]
+        recal = recalibrate(levels, times, lvl_mean, lvl_stdv, m_mask,
+                            scale_var=True, scale_drift=False)
+        # one packed transfer for the five [B] result vectors (the bool
+        # round-trips exactly through float32 0.0/1.0)
+        rr = np.asarray(jnp.stack([
+            recal.shift, recal.scale, recal.drift, recal.var,
+            recal.recalibrated.astype(jnp.float32)]))
+        r_shift, r_scale, r_drift, r_var = rr[0], rr[1], rr[2], rr[3]
+        r_ok = rr[4] != 0.0
 
     for bi, (i, inp, evt, rna, ranks, model, seq, samples, tstart) in enumerate(chunk):
         nk = int(n_kmers[bi])
