@@ -91,7 +91,9 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
     alphabet = params.alphabet
     # vectorized full-match scan (same positions as the per-i
     # is_motif_match loop); ref_seq is strand-independent, scan once
-    motif_sites_all = alphabet.motif_positions(ref_seq).tolist()
+    motif_arr = alphabet.motif_positions(ref_seq)
+    motif_sites_all = motif_arr.tolist()
+    rl = alphabet.recognition_length
     # the UNMETHYLATED subsequences are plain slices of ref_seq, so
     # their reverse-complements and kmer ranks are slices of these
     # once-per-read arrays (ranks of a slice == slice of ranks; ref_seq
@@ -109,6 +111,17 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
     rc_meth_ref = alphabet.reverse_complement(meth_ref)
     meth_ranks: Dict[int, np.ndarray] = {}
     rc_meth_ranks: Dict[int, np.ndarray] = {}
+    # positions where whole-read methylation modified a char (one byte
+    # pass); lets the per-group halo checks run as searchsorted lookups
+    # instead of string compares
+    mod_pos = np.flatnonzero(
+        np.frombuffer(meth_ref.encode("ascii"), np.uint8)
+        != np.frombuffer(ref_seq.encode("ascii"), np.uint8))
+
+    def _span_empty(arr, lo, hi):
+        """True iff arr (sorted) has no value in [lo, hi]."""
+        i = np.searchsorted(arr, lo, side="left")
+        return i >= len(arr) or arr[i] > hi
     # a modified char within site_halo of a window boundary can bleed
     # into the window's site-aware reverse complement even when the
     # forward window string matches (e.g. CG straddling the left edge:
@@ -172,14 +185,24 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
             s0 = n_ref - 1 - sub_end_pos
             unmeth._rank_cache[(k, True)] = \
                 rc_ref_ranks[k][s0:s0 + nk_sub][::-1].copy()
-            m_subseq = alphabet.methylate(subseq)
             lh = max(0, sub_start_pos - site_halo)
-            if (m_subseq == meth_ref[sub_start_pos:sub_end_pos + 1]
-                    and meth_ref[lh:sub_start_pos]
-                    == ref_seq[lh:sub_start_pos]
-                    and meth_ref[sub_end_pos + 1:sub_end_pos + 1 + site_halo]
-                    == ref_seq[sub_end_pos + 1:sub_end_pos + 1 + site_halo]):
-                # no recognition site straddles the window boundary:
+            # fast path precondition, checked WITHOUT methylating the
+            # window: (a) no recognition-site match straddles either
+            # window boundary (=> methylate(subseq) equals the
+            # whole-read methylation restricted to the window — the
+            # greedy scan state is fresh at sub_start and every match
+            # suppression is window-local), and (b) no modified char in
+            # the halos outside the window (=> the site-aware rc can't
+            # bleed).  Conservative: any straddle falls back to the
+            # explicit per-window methylate + compare.
+            if (_span_empty(motif_arr, sub_start_pos - rl + 1,
+                            sub_start_pos - 1)
+                    and _span_empty(motif_arr, sub_end_pos - rl + 2,
+                                    sub_end_pos)
+                    and _span_empty(mod_pos, lh, sub_start_pos - 1)
+                    and _span_empty(mod_pos, sub_end_pos + 1,
+                                    sub_end_pos + site_halo)):
+                m_subseq = meth_ref[sub_start_pos:sub_end_pos + 1]
                 # ranks (both directions) are slices of the whole-read
                 # methylated rank arrays, rc is the mirrored slice
                 meth = HMMInputSequence(
@@ -194,6 +217,7 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
                 meth._rank_cache[(k, True)] = \
                     rc_meth_ranks[k][s0:s0 + nk_sub][::-1].copy()
             else:
+                m_subseq = alphabet.methylate(subseq)
                 meth = HMMInputSequence(m_subseq,
                                         alphabet.reverse_complement(m_subseq),
                                         alphabet)

@@ -20,6 +20,10 @@ class HMMInputSequence:
         self.seq = fwd
         self.rc_seq = rc if rc is not None else alphabet.reverse_complement(fwd)
         assert len(self.seq) == len(self.rc_seq)
+        # (k, do_rc) -> int rank vector.  READ-ONLY CONTRACT: entries may
+        # be views into larger shared arrays (callers pre-seed slices of
+        # whole-reference rank arrays, e.g. apps/call_methylation.py's
+        # collect_read_tasks); consumers must never mutate them in place.
         self._rank_cache = {}
 
     def __len__(self) -> int:

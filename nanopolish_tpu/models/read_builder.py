@@ -31,9 +31,11 @@ def _banded_align(ev_mean, n_events, mu, sigma, log_sigma, n_kmers):
 
       exact (default on TPU) — the reference-exact band-100 Pallas kernel
         (ops/pallas_banded_exact), byte-identical banding to the scan port;
-      epoch — the faster epoch-window Pallas kernel (ops/pallas_banded),
-        which may diverge from reference banding on noisy reads;
       scan — the XLA lax.scan implementation (default off-TPU).
+
+    (The round-1 epoch-window kernel was deleted once the exact kernel
+    became both faster and reference-exact; the scan/NumPy ports remain
+    as oracles.)
     """
     import os
 
@@ -41,16 +43,6 @@ def _banded_align(ev_mean, n_events, mu, sigma, log_sigma, n_kmers):
 
     impl = os.environ.get("NPT_BANDED_IMPL", "auto")
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if impl in ("pallas", "epoch") or (impl == "auto" and on_tpu and
-                                       os.environ.get("NPT_BANDED_FAST")):
-        from ..ops.pallas_banded import (banded_align_pallas_packed,
-                                         pack_banded_inputs)
-        # single-transfer wire format: one h2d per batch instead of eight
-        # (each transfer costs a relay round trip on remote attachment)
-        packed, Tp, Kp, K0 = pack_banded_inputs(
-            ev_mean, n_events, mu, sigma, log_sigma, n_kmers)
-        return banded_align_pallas_packed(packed, Tp, Kp, K0,
-                                          B=ev_mean.shape[0])
     if impl == "exact" or (impl == "auto" and on_tpu):
         from ..ops.pallas_banded_exact import banded_align_exact
         return banded_align_exact(ev_mean, n_events, mu, sigma, log_sigma,
@@ -228,9 +220,6 @@ def _ingest_fused_enabled() -> bool:
         return False
     impl = os.environ.get("NPT_BANDED_IMPL", "auto")
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if impl in ("pallas", "epoch") or (impl == "auto" and on_tpu and
-                                       os.environ.get("NPT_BANDED_FAST")):
-        return False
     return impl == "exact" or (impl == "auto" and on_tpu)
 
 

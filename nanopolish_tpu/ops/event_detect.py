@@ -216,6 +216,10 @@ def trim_raw_by_mad(raw: np.ndarray, start: int, end: int, chunk_size: int, perc
     nsample = end - start
     nchunk = nsample // chunk_size
     end = nchunk * chunk_size
+    if nchunk == 0:
+        # signal shorter than one chunk: nothing to threshold (the
+        # quantile of an empty mads array would raise)
+        return start, end
     x = np.asarray(raw, dtype=np.float32)
     if chunk_size >= 2 and nchunk > 0:
         # one sorted-matrix pass over all chunks instead of a per-chunk

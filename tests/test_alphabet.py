@@ -347,3 +347,43 @@ def test_methylated_window_slice_reuse_identity():
                     alpha.reverse_complement(m_sub), k)[::-1],
                 rc_meth_ranks[s0:s0 + nk][::-1])
         assert reused > 10, alpha.name
+
+
+def test_no_straddle_implies_window_methylation_is_slice():
+    """apps/call_methylation.collect_read_tasks fast path: when no
+    recognition-site match straddles a window boundary, methylating the
+    window equals slicing the whole-sequence methylation (the greedy
+    scan state is fresh at the boundary and all suppression is local)."""
+    import numpy as np
+
+    from nanopolish_tpu.utils.alphabet import get_alphabet_by_name
+
+    rng = np.random.default_rng(0)
+
+    def span_empty(arr, lo, hi):
+        i = np.searchsorted(arr, lo, "left")
+        return i >= len(arr) or arr[i] > hi
+
+    checked = 0
+    for name in ("cpg", "gpc", "dam", "dcm"):
+        alpha = get_alphabet_by_name(name)
+        rl = alpha.recognition_length
+        for _ in range(60):
+            n = 300
+            s = list("".join(rng.choice(list("ACGT"), n)))
+            site = alpha.recognition_sites[
+                rng.integers(len(alpha.recognition_sites))]
+            for _ in range(30):
+                p = rng.integers(0, n - rl)
+                s[p:p + rl] = site.replace("W", "AT"[rng.integers(2)])
+            s = "".join(s)
+            motif_arr = alpha.motif_positions(s)
+            meth = alpha.methylate(s)
+            for _ in range(15):
+                a = int(rng.integers(0, n - 50))
+                b = int(a + rng.integers(20, 50))
+                if span_empty(motif_arr, a - rl + 1, a - 1) and \
+                        span_empty(motif_arr, b - rl + 2, b):
+                    assert alpha.methylate(s[a:b + 1]) == meth[a:b + 1]
+                    checked += 1
+    assert checked > 1000
