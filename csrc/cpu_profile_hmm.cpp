@@ -1,0 +1,141 @@
+// cpu_profile_hmm.cpp -- single-thread CPU implementation of the R9
+// profile-HMM Forward fill, used ONLY as the benchmark baseline proxy
+// for the analysis apps (call-methylation, variants, eventalign).
+//
+// Mirrors the cost structure of the reference's inner loop
+// (spec: src/hmm/nanopolish_profile_hmm_r9.inl:265-433 — 3 states per
+// kmer block; per block one gaussian log-pdf and ~8 float logsumexp
+// accumulations via add_logs = max + log1pf(expf(delta)); soft-clip
+// flanks; end-state accumulation at the last kmer) without copying its
+// code: this file re-derives the DP from the same recurrence our
+// ops/profile_hmm.py scan implements, and its scores are validated
+// against that port (tests/test_cpu_baseline_hmm.py).
+
+#include <cmath>
+#include <cstdint>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr float NEG_INF = -INFINITY;
+constexpr float LOG_BG = -3.0f;               // background emission (nats)
+constexpr float TRANS_CLIP_SELF = 0.9f;
+constexpr float TRANS_START_TO_CLIP = 0.5f;
+
+inline float add_logs(float a, float b) {
+    // same op census as the reference's sum_logs: 1 cmp, 1 sub, expf,
+    // log1pf, 1 add
+    if (a == NEG_INF && b == NEG_INF) return NEG_INF;
+    if (a > b) return a + log1pf(expf(b - a));
+    return b + log1pf(expf(a - b));
+}
+
+inline float log_normal_pdf(float x, float mu, float sigma,
+                            float log_sigma) {
+    static const float log_inv_sqrt_2pi = -0.918938533204672f;
+    float a = (x - mu) / sigma;
+    return log_inv_sqrt_2pi - log_sigma - 0.5f * a * a;
+}
+
+inline float flank(int64_t i) {
+    // pre_flank[i]; post_flank is the same function of (n-1-i)
+    static const float base = logf(TRANS_START_TO_CLIP) + LOG_BG +
+                              logf(1.0f - TRANS_CLIP_SELF);
+    static const float step = logf(TRANS_CLIP_SELF) + LOG_BG;
+    if (i == 0) return logf(1.0f - TRANS_START_TO_CLIP);
+    return base + (float)(i - 1) * step;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Forward-score one segment: levels [n_events] vs per-kmer gaussians
+// mu/sigma/log_sigma [n_kmers].  flags bit0 = allow pre-clip, bit1 =
+// allow post-clip.  Returns the Forward log-probability.
+float npt_cpu_profile_hmm_forward(const float* levels, int64_t n_events,
+                                  const float* mu, const float* sigma,
+                                  const float* log_sigma, int64_t n_kmers,
+                                  float events_per_base, int32_t flags) {
+    const bool pre_clip = flags & 1;
+    const bool post_clip = flags & 2;
+
+    // block transitions (knob defaults; r9.inl:17-76 semantics)
+    const float p_skip = 0.0025f, p_bad = 0.001f, p_skip_self = 0.3f;
+    const float epb = std::max(1.25f, events_per_base);
+    const float p_stay = 1.0f - 1.0f / epb;
+    const float lp_mk = logf(p_skip);
+    const float lp_mb = logf(p_bad);
+    const float lp_mm_self = logf(p_stay);
+    const float lp_mm_next = logf(1.0f - p_stay - p_skip - p_bad);
+    const float lp_bb = logf(p_bad);
+    const float lp_b3 = logf((1.0f - p_bad) / 3.0f);
+    const float lp_kk = logf(p_skip_self);
+    const float lp_km = logf(1.0f - p_skip_self);
+
+    std::vector<float> M(n_kmers, NEG_INF), B(n_kmers, NEG_INF),
+        K(n_kmers, NEG_INF), Mn(n_kmers), Bn(n_kmers), Kn(n_kmers);
+    float lp_end = NEG_INF;
+
+    for (int64_t t = 1; t <= n_events; ++t) {
+        const float ev = levels[t - 1];
+        const float pre = flank(t - 1);
+        float k_prev_row = NEG_INF;  // K_new[k-1] (within-row recurrence)
+        for (int64_t k = 0; k < n_kmers; ++k) {
+            const float em =
+                log_normal_pdf(ev, mu[k], sigma[k], log_sigma[k]);
+            const float Mp = k > 0 ? M[k - 1] : NEG_INF;
+            const float Bp = k > 0 ? B[k - 1] : NEG_INF;
+            const float Kp = k > 0 ? K[k - 1] : NEG_INF;
+
+            // PSR9_MATCH: 6-way logsumexp + emission
+            float m_in = add_logs(lp_mm_self + M[k], lp_mm_next + Mp);
+            m_in = add_logs(m_in, lp_b3 + B[k]);
+            m_in = add_logs(m_in, lp_b3 + Bp);
+            m_in = add_logs(m_in, lp_km + Kp);
+            if (k == 0 && (pre_clip || t == 1))
+                m_in = add_logs(m_in, pre);
+            Mn[k] = m_in + em;
+
+            // PSR9_BAD_EVENT (emission 0)
+            Bn[k] = add_logs(lp_mb + M[k], lp_bb + B[k]);
+
+            // PSR9_KMER_SKIP: same-row chain
+            const float cM = k > 0 ? lp_mk + Mn[k - 1] : NEG_INF;
+            const float cB = k > 0 ? lp_b3 + Bn[k - 1] : NEG_INF;
+            float c = add_logs(cM, cB);
+            k_prev_row = add_logs(c, k_prev_row + lp_kk);
+            Kn[k] = k_prev_row;
+        }
+        if (post_clip || t == n_events) {
+            const float post = flank(n_events - t);
+            float last = add_logs(add_logs(Mn[n_kmers - 1], Bn[n_kmers - 1]),
+                                  Kn[n_kmers - 1]);
+            lp_end = add_logs(lp_end, last + post);
+        }
+        M.swap(Mn);
+        B.swap(Bn);
+        K.swap(Kn);
+    }
+    return lp_end;
+}
+
+// Batched driver (timing loop lives in C++ so per-call Python overhead
+// does not pollute the baseline measurement).  Segment i spans
+// levels[lev_off[i] .. lev_off[i+1]) and mu/sigma/log_sigma
+// [k_off[i] .. k_off[i+1]).  Scores land in out[i].
+void npt_cpu_profile_hmm_forward_batch(
+    const float* levels, const int64_t* lev_off, const float* mu,
+    const float* sigma, const float* log_sigma, const int64_t* k_off,
+    const float* events_per_base, const int32_t* flags, int64_t n_segments,
+    float* out) {
+    for (int64_t i = 0; i < n_segments; ++i) {
+        out[i] = npt_cpu_profile_hmm_forward(
+            levels + lev_off[i], lev_off[i + 1] - lev_off[i], mu + k_off[i],
+            sigma + k_off[i], log_sigma + k_off[i],
+            k_off[i + 1] - k_off[i], events_per_base[i], flags[i]);
+    }
+}
+
+}  // extern "C"

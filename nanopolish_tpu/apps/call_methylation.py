@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, TextIO, Tuple
 import numpy as np
 
 from ..alignment.records import (MAX_EVENT_TO_BP_RATIO, EventAlignmentRecord,
-                                 SequenceAlignmentRecord, find_by_ref_bounds)
+                                 SequenceAlignmentRecord)
 from ..alignment.segments import (HMMSegment, forward_segments,
                                   make_segment, segment_levels)
 from ..io.fasta import FastaIndex
@@ -82,6 +82,49 @@ def motif_groups(motif_sites: List[int], min_separation: int
     return groups
 
 
+def _motif_group_spans(motif_arr: np.ndarray, min_separation: int):
+    """motif_groups vectorized: group index bounds (gs[i], ge[i]) such
+    that groups are maximal runs with inter-site gaps <= min_separation
+    (identical grouping to the scalar loop above)."""
+    n = len(motif_arr)
+    breaks = np.flatnonzero(np.diff(motif_arr) > min_separation)
+    gs = np.concatenate([[0], breaks + 1])
+    ge = np.concatenate([breaks + 1, [n]])
+    return gs, ge
+
+
+def _find_by_ref_bounds_vec(pairs: np.ndarray, ref_start: np.ndarray,
+                            ref_stop: np.ndarray):
+    """alignment.records.find_by_ref_bounds for arrays of bounds: returns
+    (e1, e2, ok) with identical per-element semantics (incl. the
+    reference's `refs[i2+1] >= ref_start` right-bound quirk,
+    alignment_db.cpp:688-731)."""
+    n = pairs.shape[0]
+    if n == 0:
+        z = np.zeros(len(ref_start), np.int64)
+        return z, z, np.zeros(len(ref_start), bool)
+    refs = pairs[:, 0]
+    i1 = np.searchsorted(refs, ref_start, side="left")
+    i2 = np.searchsorted(refs, ref_stop, side="left")
+    inb = (i1 < n) & (i2 < n)
+    i1c = np.minimum(i1, n - 1)
+    i2c = np.minimum(i2, n - 1)
+    left_b = (refs[i1c] <= ref_start) | \
+        ((i1 > 0) & (refs[np.maximum(i1 - 1, 0)] <= ref_start))
+    right_b = (refs[i2c] >= ref_stop) | \
+        ((i2 + 1 < n) & (refs[np.minimum(i2 + 1, n - 1)] >= ref_start))
+    ok = inb & left_b & right_b
+    return pairs[i1c, 1], pairs[i2c, 1], ok
+
+
+def _spans_empty_vec(arr: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """Per-element: sorted arr has no value in [lo_i, hi_i]."""
+    if len(arr) == 0:
+        return np.ones(len(lo), bool)
+    i = np.searchsorted(arr, lo, side="left")
+    return (i >= len(arr)) | (arr[np.minimum(i, len(arr) - 1)] > hi)
+
+
 def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
                        region_start, region_end):
     """Per-read task generation (basemods.cpp:273-380).  Returns
@@ -92,7 +135,8 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
     # vectorized full-match scan (same positions as the per-i
     # is_motif_match loop); ref_seq is strand-independent, scan once
     motif_arr = alphabet.motif_positions(ref_seq)
-    motif_sites_all = motif_arr.tolist()
+    if len(motif_arr) == 0:
+        return segments, metas
     rl = alphabet.recognition_length
     # the UNMETHYLATED subsequences are plain slices of ref_seq, so
     # their reverse-complements and kmer ranks are slices of these
@@ -117,17 +161,35 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
     mod_pos = np.flatnonzero(
         np.frombuffer(meth_ref.encode("ascii"), np.uint8)
         != np.frombuffer(ref_seq.encode("ascii"), np.uint8))
-
-    def _span_empty(arr, lo, hi):
-        """True iff arr (sorted) has no value in [lo, hi]."""
-        i = np.searchsorted(arr, lo, side="left")
-        return i >= len(arr) or arr[i] > hi
     # a modified char within site_halo of a window boundary can bleed
     # into the window's site-aware reverse complement even when the
     # forward window string matches (e.g. CG straddling the left edge:
     # forward keeps the G, rc gains the mirrored M) — require a clean
     # halo on both sides before reusing whole-read arrays
     site_halo = max(len(s) for s in alphabet.recognition_sites) - 1
+
+    # ---- strand-independent group geometry, one vectorized pass ----
+    gs, ge = _motif_group_spans(motif_arr, params.min_separation)
+    first = motif_arr[gs]
+    last = motif_arr[ge - 1]
+    sub_start = first - params.min_flank
+    sub_end = last + params.min_flank
+    ok0 = ((sub_start > params.min_separation) & (last - first <= 200)
+           & (sub_end < n_ref))
+    start_position_v = first + ref_start_pos
+    end_position_v = last + ref_start_pos
+    if region_start != -1:
+        ok0 &= start_position_v >= region_start
+    if region_end != -1:
+        ok0 &= end_position_v < region_end
+    # fast-path precondition (see the in-loop comment), vectorized
+    fast_v = (_spans_empty_vec(motif_arr, sub_start - rl + 1, sub_start - 1)
+              & _spans_empty_vec(motif_arr, sub_end - rl + 2, sub_end)
+              & _spans_empty_vec(mod_pos,
+                                 np.maximum(0, sub_start - site_halo),
+                                 sub_start - 1)
+              & _spans_empty_vec(mod_pos, sub_end + 1,
+                                 sub_end + site_halo))
     for strand_idx in (0, 1):
         if not sr.has_events_for_strand(strand_idx):
             continue
@@ -143,65 +205,44 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
         event_record = EventAlignmentRecord.build(sr, strand_idx, seq_record)
         if event_record.aligned_events.shape[0] == 0:
             continue
+        rc = event_record.rc
 
-        motif_sites = motif_sites_all
-        for start_idx, end_idx in motif_groups(motif_sites,
-                                               params.min_separation):
-            sub_start_pos = motif_sites[start_idx] - params.min_flank
-            sub_end_pos = motif_sites[end_idx - 1] + params.min_flank
-            span = motif_sites[end_idx - 1] - motif_sites[start_idx]
-            if sub_start_pos <= params.min_separation or span > 200:
-                continue
-            if sub_end_pos >= len(ref_seq):
-                continue
+        # per-strand event bounds + ratio QC, vectorized over all groups
+        e1_v, e2_v, okb = _find_by_ref_bounds_vec(
+            event_record.aligned_events, sub_start + ref_start_pos,
+            sub_end + ref_start_pos)
+        d = np.abs(e2_v - e1_v)
+        ratio = d.astype(np.float64) / np.maximum(sub_end - sub_start, 1)
+        ok = ok0 & okb & (d > 10) & ~(ratio > MAX_EVENT_TO_BP_RATIO)
+
+        if k not in ref_ranks:
+            ref_ranks[k] = alphabet.seq_to_kmer_ranks(ref_seq, k)
+            rc_ref_ranks[k] = alphabet.seq_to_kmer_ranks(rc_ref, k)
+        for gi in np.flatnonzero(ok):
+            sub_start_pos = int(sub_start[gi])
+            sub_end_pos = int(sub_end[gi])
+            e1, e2 = int(e1_v[gi]), int(e2_v[gi])
             subseq = ref_seq[sub_start_pos:sub_end_pos + 1]
             rc_subseq = rc_ref[n_ref - 1 - sub_end_pos:n_ref - sub_start_pos]
-            calling_start = sub_start_pos + ref_start_pos
-            calling_end = sub_end_pos + ref_start_pos
-
-            bounds = find_by_ref_bounds(event_record.aligned_events,
-                                        calling_start, calling_end)
-            if bounds is None:
-                continue
-            e1, e2 = bounds
-            if abs(e2 - e1) <= 10 or \
-                    abs(e2 - e1) / max(calling_end - calling_start, 1) \
-                    > MAX_EVENT_TO_BP_RATIO:
-                continue
-
-            start_position = motif_sites[start_idx] + ref_start_pos
-            end_position = motif_sites[end_idx - 1] + ref_start_pos
-            if (region_start != -1 and start_position < region_start) or \
-               (region_end != -1 and end_position >= region_end):
-                continue
 
             unmeth = HMMInputSequence(subseq, rc_subseq, alphabet)
-            if k not in ref_ranks:
-                ref_ranks[k] = alphabet.seq_to_kmer_ranks(ref_seq, k)
-                rc_ref_ranks[k] = alphabet.seq_to_kmer_ranks(rc_ref, k)
             nk_sub = sub_end_pos + 1 - sub_start_pos - k + 1
             unmeth._rank_cache[(k, False)] = \
                 ref_ranks[k][sub_start_pos:sub_start_pos + nk_sub]
             s0 = n_ref - 1 - sub_end_pos
             unmeth._rank_cache[(k, True)] = \
                 rc_ref_ranks[k][s0:s0 + nk_sub][::-1].copy()
-            lh = max(0, sub_start_pos - site_halo)
-            # fast path precondition, checked WITHOUT methylating the
-            # window: (a) no recognition-site match straddles either
-            # window boundary (=> methylate(subseq) equals the
-            # whole-read methylation restricted to the window — the
-            # greedy scan state is fresh at sub_start and every match
-            # suppression is window-local), and (b) no modified char in
+            # fast path precondition (fast_v, computed above WITHOUT
+            # methylating the window): (a) no recognition-site match
+            # straddles either window boundary (=> methylate(subseq)
+            # equals the whole-read methylation restricted to the
+            # window — the greedy scan state is fresh at sub_start and
+            # every match suppression is window-local; property-tested
+            # in tests/test_alphabet.py), and (b) no modified char in
             # the halos outside the window (=> the site-aware rc can't
             # bleed).  Conservative: any straddle falls back to the
-            # explicit per-window methylate + compare.
-            if (_span_empty(motif_arr, sub_start_pos - rl + 1,
-                            sub_start_pos - 1)
-                    and _span_empty(motif_arr, sub_end_pos - rl + 2,
-                                    sub_end_pos)
-                    and _span_empty(mod_pos, lh, sub_start_pos - 1)
-                    and _span_empty(mod_pos, sub_end_pos + 1,
-                                    sub_end_pos + site_halo)):
+            # explicit per-window methylate.
+            if fast_v[gi]:
                 m_subseq = meth_ref[sub_start_pos:sub_end_pos + 1]
                 # ranks (both directions) are slices of the whole-read
                 # methylated rank arrays, rc is the mirrored slice
@@ -221,7 +262,6 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
                 meth = HMMInputSequence(m_subseq,
                                         alphabet.reverse_complement(m_subseq),
                                         alphabet)
-            rc = event_record.rc
             levels = segment_levels(sr, strand_idx, e1, e2)
             for hs in (unmeth, meth):
                 ranks = hs.kmer_ranks(k, rc)
@@ -229,13 +269,13 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
                                              model=meth_model,
                                              flags=HMM_FLAGS,
                                              levels=levels))
-            site_output_start = motif_sites[start_idx] - k + 1
-            site_output_end = motif_sites[end_idx - 1] + k
+            site_output_start = int(first[gi]) - k + 1
+            site_output_end = int(last[gi]) + k
             metas.append({
                 "strand_idx": strand_idx,
-                "start_position": start_position,
-                "end_position": end_position,
-                "n_motif": end_idx - start_idx,
+                "start_position": int(start_position_v[gi]),
+                "end_position": int(end_position_v[gi]),
+                "n_motif": int(ge[gi] - gs[gi]),
                 "sequence": ref_seq[site_output_start:site_output_end],
             })
     return segments, metas

@@ -116,7 +116,7 @@ def build_reads(
     inputs: Sequence[RawReadInput],
     flags: int = 0,
     stats: Optional[ReadStats] = None,
-    max_batch: int = 128,
+    max_batch: int = 256,
     num_threads: int = 8,
 ) -> List[Optional[SquiggleRead]]:
     """Construct SquiggleReads for a batch of raw reads.
