@@ -1,0 +1,244 @@
+#!/usr/bin/env python3
+"""CPU e2e denominators for the analysis apps (VERDICT r2 missing #3).
+
+For call-methylation and variants --consensus this tool:
+  1. builds the SAME corpus as the matching perf_e2e tool,
+  2. runs the real app on the CPU backend with a spy on
+     forward_segments, capturing every profile-HMM segment the app
+     actually scores (the identical workload a reference run computes
+     for this corpus — same task geometry per basemods.cpp:238-457 /
+     call_variants.cpp:288-361),
+  3. times csrc's npt_cpu_profile_hmm_forward_batch (the reference
+     inner loop's op census, validated against the scan port in
+     tests/test_cpu_baseline_hmm.py) over all captured segments,
+     single thread, best of NPT_CPU_REPS,
+  4. times csrc's npt_cpu_banded_align over the corpus's ingest
+     workload (per-read adaptive banded DP) and the native event
+     detector (both stages a reference run pays once per read),
+  5. reports the estimated 16-thread CPU throughput:
+         sites/s  = n_sites / ((t_hmm + t_banded + t_detect) / 16)
+     This is an UPPER bound on the reference (zero host/geometry/IO
+     cost, perfect 16-thread scaling, -march=native), so the derived
+     vs_cpu ratios are conservative.
+
+Usage: python tools/cpu_e2e_baseline.py [methylation|variants|all]
+Output: one JSON line per app with the single-thread stage seconds and
+the estimated 16-thread rate; paste into BASELINE.md.
+"""
+
+import ctypes
+import importlib.util
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("NPT_PLATFORM", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from nanopolish_tpu.utils.native import get_native_lib  # noqa: E402
+
+REPS = int(os.environ.get("NPT_CPU_REPS", "3"))
+THREADS = 16
+
+
+def _load_tool(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           name + ".py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _bind():
+    lib = get_native_lib()._lib
+    fb = lib.npt_cpu_profile_hmm_forward_batch
+    fb.restype = None
+    P = ctypes.POINTER
+    fb.argtypes = [P(ctypes.c_float), P(ctypes.c_int64), P(ctypes.c_float),
+                   P(ctypes.c_float), P(ctypes.c_float), P(ctypes.c_int64),
+                   P(ctypes.c_float), P(ctypes.c_int32), ctypes.c_int64,
+                   P(ctypes.c_float)]
+    ba = lib.npt_cpu_banded_align
+    ba.restype = ctypes.c_int64
+    ba.argtypes = [P(ctypes.c_float), ctypes.c_int64, P(ctypes.c_float),
+                   P(ctypes.c_float), P(ctypes.c_float), ctypes.c_int64]
+    return fb, ba
+
+
+def _capture_segments():
+    """Patch alignment.segments.forward_segments (and every app module's
+    imported alias) to record segments while still returning scores."""
+    import nanopolish_tpu.alignment.segments as seg
+    import nanopolish_tpu.apps.call_methylation as cm
+    import nanopolish_tpu.apps.variants as var
+
+    captured = []
+    orig = seg.forward_segments
+
+    def spy(segments, *a, **k):
+        captured.extend(segments)
+        return orig(segments, *a, **k)
+
+    seg.forward_segments = spy
+    cm.forward_segments = spy
+    var.forward_segments = spy
+
+    def restore():
+        seg.forward_segments = orig
+        cm.forward_segments = orig
+        var.forward_segments = orig
+    return captured, restore
+
+
+def _time_hmm(fb, segments):
+    """Single-thread C++ Forward over all captured segments (batch entry:
+    the loop lives in C++)."""
+    lev = np.concatenate([np.asarray(s.levels, np.float32)
+                          for s in segments])
+    lev_off = np.concatenate(
+        [[0], np.cumsum([len(s.levels) for s in segments])]).astype(np.int64)
+    mu = np.concatenate([np.asarray(s.mu, np.float32) for s in segments])
+    sig = np.concatenate([np.asarray(s.sigma, np.float32)
+                          for s in segments])
+    lsig = np.log(sig)
+    k_off = np.concatenate(
+        [[0], np.cumsum([len(s.mu) for s in segments])]).astype(np.int64)
+    epb = np.array([s.events_per_base for s in segments], np.float32)
+    flags = np.array([s.flags for s in segments], np.int32)
+    out = np.zeros(len(segments), np.float32)
+
+    P = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))  # noqa: E731
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        fb(P(lev, ctypes.c_float), P(lev_off, ctypes.c_int64),
+           P(mu, ctypes.c_float), P(sig, ctypes.c_float),
+           P(lsig, ctypes.c_float), P(k_off, ctypes.c_int64),
+           P(epb, ctypes.c_float), P(flags, ctypes.c_int32),
+           len(segments), P(out, ctypes.c_float))
+        best = min(best, time.perf_counter() - t0)
+    cells = int(np.sum(np.diff(lev_off) * np.diff(k_off)))
+    return best, cells, out
+
+
+def _time_ingest(ba, read_db_dir, fastq):
+    """Single-thread banded align + event detect over the corpus reads
+    (the reference's per-read load_from_raw work)."""
+    from nanopolish_tpu.io.readdb import ReadDB
+    from nanopolish_tpu.models.pore_model import PoreModelSet
+    from nanopolish_tpu.models.read_loader import load_raw_inputs
+    from nanopolish_tpu.ops import event_detect
+
+    db = ReadDB()
+    db.load(fastq)
+    # slow5 single-file mode keeps _data empty; the fasta index has names
+    names = list(db._data) or list(db._fai.entries)
+    inputs = load_raw_inputs(names, db, num_threads=4)
+    model = PoreModelSet.instance().get_model(
+        "r9.4_450bps", "nucleotide", "template", 6)
+
+    t_detect = 0.0
+    work = []
+    for inp in inputs.values():
+        t0 = time.perf_counter()
+        bounds = event_detect.trim_and_segment_raw(inp.raw, 200, 10, 100, 0.0)
+        et = event_detect.detect_events(
+            inp.raw[bounds[0]:bounds[1]], event_detect.EVENT_DETECTION_DEFAULTS)
+        t_detect += time.perf_counter() - t0
+        seq = inp.sequence
+        ranks = model.alphabet.seq_to_kmer_ranks(seq, model.k)
+        lm = model.level_mean[ranks].astype(np.float32)
+        ls = model.level_stdv[ranks].astype(np.float32)
+        ev = np.asarray(et.mean, np.float32)
+        # MoM scaling like the reference's load path
+        shift = ev.mean() - lm.mean()
+        scale = ((ev - shift) ** 2).mean() / (lm ** 2).mean()
+        mu = (scale * lm + shift).astype(np.float32)
+        work.append((ev, mu, ls, np.log(ls).astype(np.float32)))
+
+    P = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))  # noqa: E731
+    best = float("inf")
+    cells = 0
+    for rep in range(REPS):
+        t0 = time.perf_counter()
+        for ev, mu, ls, lls in work:
+            ba(P(ev), len(ev), P(mu), P(ls), P(lls), len(mu))
+        best = min(best, time.perf_counter() - t0)
+    cells = sum((len(ev) + len(mu) + 2) * 100 for ev, mu, _, _ in work)
+    return best, t_detect, cells, len(work)
+
+
+def run_methylation(fb, ba):
+    pm = _load_tool("perf_e2e_methylation")
+    captured, restore = _capture_segments()
+    with tempfile.TemporaryDirectory() as d:
+        fastq, bam, ref_fa = pm.build_corpus(d)
+        import io
+
+        out = io.StringIO()
+        from nanopolish_tpu.apps import call_methylation as cm_app
+        cm_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-q", "cpg",
+                     "-t", "4"], stdout=out)
+        n_sites = sum(1 for l in out.getvalue().splitlines()
+                      if l and not l.startswith("chromosome\t"))
+        t_hmm, hmm_cells, _ = _time_hmm(fb, captured)
+        t_banded, t_detect, b_cells, n_reads = _time_ingest(ba, d, fastq)
+    restore()
+    total_1t = t_hmm + t_banded + t_detect
+    est = n_sites / (total_1t / THREADS)
+    print(json.dumps({
+        "app": "call-methylation", "reads": pm.N_READS, "sites": n_sites,
+        "segments": len(captured), "hmm_cells": hmm_cells,
+        "t_hmm_1t_s": round(t_hmm, 2), "ns_per_hmm_cell":
+        round(t_hmm / max(hmm_cells, 1) * 1e9, 1),
+        "t_banded_1t_s": round(t_banded, 2), "t_detect_1t_s":
+        round(t_detect, 2),
+        "est_cpu_16t_sites_per_s": round(est, 1)}), flush=True)
+    return est
+
+
+def run_variants(fb, ba):
+    pv = _load_tool("perf_e2e_variants")
+    captured, restore = _capture_segments()
+    with tempfile.TemporaryDirectory() as d:
+        fastq, bam, draft_fa, draft, truth, subs = pv.build_corpus(d)
+        vcf_path = os.path.join(d, "out.vcf")
+        from nanopolish_tpu.apps import variants as var_app
+        var_app.main(["-r", fastq, "-b", bam, "-g", draft_fa,
+                      "-w", f"tig1:0-{pv.DRAFT_LEN - 1}", "--consensus",
+                      "-o", vcf_path, "-d", "10"])
+        t_hmm, hmm_cells, _ = _time_hmm(fb, captured)
+        t_banded, t_detect, b_cells, n_reads = _time_ingest(ba, d, fastq)
+    restore()
+    total_1t = t_hmm + t_banded + t_detect
+    est = pv.DRAFT_LEN / (total_1t / THREADS)
+    print(json.dumps({
+        "app": "variants--consensus", "reads": pv.N_READS,
+        "window_bases": pv.DRAFT_LEN, "segments": len(captured),
+        "hmm_cells": hmm_cells, "t_hmm_1t_s": round(t_hmm, 2),
+        "ns_per_hmm_cell": round(t_hmm / max(hmm_cells, 1) * 1e9, 1),
+        "t_banded_1t_s": round(t_banded, 2),
+        "t_detect_1t_s": round(t_detect, 2),
+        "est_cpu_16t_bases_per_s": round(est, 1)}), flush=True)
+    return est
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    fb, ba = _bind()
+    if which in ("methylation", "all"):
+        run_methylation(fb, ba)
+    if which in ("variants", "all"):
+        run_variants(fb, ba)
+
+
+if __name__ == "__main__":
+    main()
