@@ -39,34 +39,49 @@ class HMMSegment:
     flags: int = 0
 
 
+def read_drift_levels(read: SquiggleRead, strand: int) -> np.ndarray:
+    """Whole-read drift-corrected event levels, cached on the read:
+    level[i] = mean[i] - (start_time[i] - start_time[0]) * drift.
+    Identity-keyed on the scalings object (calibration REPLACES
+    read.scalings[strand], calibration.py), so a stale cache is
+    impossible."""
+    cache = getattr(read, "_drift_levels_cache", None)
+    if cache is None:
+        cache = {}
+        read._drift_levels_cache = cache
+    s = read.scalings[strand]
+    entry = cache.get(strand)
+    if entry is None or entry[0] is not s:
+        ev = read.events[strand]
+        levels = np.asarray(
+            ev.mean - (ev.start_time - ev.start_time[0]) * s.drift,
+            np.float32)
+        entry = (s, levels)
+        cache[strand] = entry
+    return entry[1]
+
+
 def segment_levels(read: SquiggleRead, strand: int,
                    event_start: int, event_stop: int) -> np.ndarray:
     """Drift-corrected event levels over [start..stop] (either
     direction) — shared by every segment scoring the same event range
-    (e.g. a group's unmethylated/methylated pair)."""
-    s = read.scalings[strand]
+    (e.g. a group's unmethylated/methylated pair).  A slice of the
+    cached whole-read array (bit-identical: the per-range expression
+    subtracts the same start_time[0])."""
     stride = 1 if event_stop >= event_start else -1
-    idx = np.arange(event_start, event_stop + stride, stride)
-    ev = read.events[strand]
-    levels = ev.mean[idx] - (ev.start_time[idx] - ev.start_time[0]) * s.drift
-    return np.asarray(levels, np.float32)
+    stop = event_stop + stride
+    if stop < 0:
+        stop = None                      # reversed slice reaching index 0
+    return read_drift_levels(read, strand)[event_start:stop:stride]
 
 
-def make_segment(read: SquiggleRead, strand: int, ranks: np.ndarray,
-                 event_start: int, event_stop: int, model=None,
-                 flags: int = 0, levels: Optional[np.ndarray] = None
-                 ) -> HMMSegment:
-    """Build a segment from a read's event range [start..stop] (either
-    direction) and a window's kmer ranks."""
-    if model is None:
-        model = read.base_model[strand]
+def _model_tables(read: SquiggleRead, strand: int, model
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Read-calibrated Gaussian tables (mu, sigma) hoisted per (read,
+    strand, model): every segment of the same read then costs one gather
+    per array.  Identity keys are sound because calibration REPLACES
+    read.scalings[strand] (calibration.py:56) rather than mutating it."""
     s = read.scalings[strand]
-    if levels is None:
-        levels = segment_levels(read, strand, event_start, event_stop)
-    # read-calibrated Gaussian tables hoisted per (read, strand, model):
-    # every segment of the same read then costs one gather per array.
-    # Identity keys are sound because calibration REPLACES
-    # read.scalings[strand] (calibration.py:56) rather than mutating it.
     cache = getattr(read, "_segment_model_cache", None)
     if cache is None:
         cache = {}
@@ -77,8 +92,22 @@ def make_segment(read: SquiggleRead, strand: int, ranks: np.ndarray,
                  (s.scale * model.level_mean + s.shift).astype(np.float32),
                  (model.level_stdv * s.var).astype(np.float32))
         cache[strand] = entry
-    mu = entry[2][ranks]
-    sigma = entry[3][ranks]
+    return entry[2], entry[3]
+
+
+def make_segment(read: SquiggleRead, strand: int, ranks: np.ndarray,
+                 event_start: int, event_stop: int, model=None,
+                 flags: int = 0, levels: Optional[np.ndarray] = None
+                 ) -> HMMSegment:
+    """Build a segment from a read's event range [start..stop] (either
+    direction) and a window's kmer ranks."""
+    if model is None:
+        model = read.base_model[strand]
+    if levels is None:
+        levels = segment_levels(read, strand, event_start, event_stop)
+    mu_tab, sig_tab = _model_tables(read, strand, model)
+    mu = mu_tab[ranks]
+    sigma = sig_tab[ranks]
     return HMMSegment(levels=levels,
                       mu=np.asarray(mu, np.float32),
                       sigma=np.asarray(sigma, np.float32),
@@ -285,6 +314,88 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
     off = 0
     for chunk, _dev, B0 in pending:
         out[np.asarray(chunk)] = flat[off:off + B0]
+        off += B0
+    return out
+
+
+def forward_arrays(levels_mat: np.ndarray, n_events: np.ndarray,
+                   mu_mat: np.ndarray, sigma_mat: np.ndarray,
+                   n_kmers: np.ndarray, epb: np.ndarray,
+                   flags: np.ndarray, indel_bias: float = 1.0) -> np.ndarray:
+    """Array-level forward_segments: score n segments given already
+    padded/stacked inputs (levels_mat [n, Tmax], mu/sigma_mat [n, Kmax],
+    n_events/n_kmers [n] i32, epb [n] f32, flags [n] i32) with NO
+    per-segment Python objects — the fast path for high-volume callers
+    (variants screening builds these with batched gathers).  Scores are
+    bit-identical to forward_segments on equivalent HMMSegments: the
+    kernel is row-independent per segment and buckets by the same
+    power-of-two (TP, KP) shapes."""
+    import os
+
+    import jax
+
+    n = len(n_events)
+    out = np.zeros(n, np.float32)
+    if n == 0:
+        return out
+    impl = os.environ.get("NPT_HMM_IMPL", "auto")
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() in ("tpu", "axon"))
+
+    # bucket rows by power-of-two padded event length / kmer width
+    tp_all = np.maximum(128, np.exp2(np.ceil(np.log2(
+        np.maximum(n_events, 1)))).astype(np.int64))
+    kp_all = np.maximum(128, np.exp2(np.ceil(np.log2(
+        np.maximum(n_kmers, 1)))).astype(np.int64))
+    buckets: dict = {}
+    for i in range(n):
+        buckets.setdefault((int(tp_all[i]), int(kp_all[i])), []).append(i)
+
+    if not use_pallas:
+        from ..ops.profile_hmm import profile_hmm_forward
+        for (tp, kp), idxs in buckets.items():
+            ii = np.asarray(idxs)
+            T = min(levels_mat.shape[1], tp)
+            K = min(mu_mat.shape[1], kp)
+            # the scan port buckets by flags too
+            for fl in np.unique(flags[ii]):
+                jj = ii[flags[ii] == fl]
+                lp = profile_hmm_forward(
+                    levels_mat[jj, :T], n_events[jj], mu_mat[jj, :K],
+                    sigma_mat[jj, :K],
+                    np.log(np.maximum(sigma_mat[jj, :K], 1e-30)),
+                    n_kmers[jj], epb[jj], flags=int(fl),
+                    indel_bias=indel_bias)
+                out[jj] = np.asarray(lp)
+        return out
+
+    import jax.numpy as jnp
+
+    from ..ops.pallas_profile_hmm import (_pack_hmm_inputs,
+                                          _profile_hmm_forward_call_packed)
+
+    pending = []
+    for (tp, kp), idxs in buckets.items():
+        bytes_per_seg = 4 * (tp + 3 * kp + 12) + 16 * kp
+        cap = 512
+        while cap * 2 * bytes_per_seg <= (45 << 20) and cap < 4096:
+            cap *= 2
+        for lo in range(0, len(idxs), cap):
+            ii = np.asarray(idxs[lo:lo + cap])
+            T = min(levels_mat.shape[1], tp)
+            K = min(mu_mat.shape[1], kp)
+            sig = sigma_mat[ii, :K]
+            packed, TP, B0, _, _ = _pack_hmm_inputs(
+                levels_mat[ii, :T], n_events[ii], mu_mat[ii, :K], sig,
+                np.log(np.maximum(sig, 1e-30)), n_kmers[ii], epb[ii],
+                flags[ii], indel_bias, kp=kp)
+            dev = _profile_hmm_forward_call_packed(packed, TP)
+            pending.append((ii, dev, B0))
+    flat = np.asarray(jnp.concatenate(
+        [dev[:B0, 0] for _, dev, B0 in pending]))
+    off = 0
+    for ii, _dev, B0 in pending:
+        out[ii] = flat[off:off + B0]
         off += B0
     return out
 

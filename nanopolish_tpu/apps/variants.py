@@ -29,8 +29,9 @@ from typing import Dict, List, Optional, Sequence, TextIO, Tuple
 import numpy as np
 
 from ..alignment.alignment_db import AlignmentDB, EventSequence
-from ..alignment.segments import (HMMSegment, forward_segments,
-                                  make_segment, segment_levels)
+from ..alignment.segments import (HMMSegment, _model_tables, forward_arrays,
+                                  forward_segments, make_segment,
+                                  segment_levels)
 from ..io.vcf import DEFAULT_INFO_FIELDS, Variant, VcfReader, VcfWriter
 from ..models.haplotype import Haplotype
 from ..models.hmm_input import HMMInputSequence
@@ -100,65 +101,116 @@ class ScoreBatcher:
     entirely."""
 
     def __init__(self, indel_bias: float = 1.0, memo: Optional[dict] = None):
-        self._segments: List[HMMSegment] = []
+        # per-SEGMENT lightweight tuples (hs, data); everything heavy
+        # (rank gathers, level slices, padding) happens ONCE in flush()
+        # at array level — the per-segment-object path measured 41 us of
+        # host Python per segment at variants-screening volume (184k
+        # segments/window)
+        self._pend: List[Tuple] = []
         # unit -> (start, count, memo_key) pending, or (None, value, None)
         self._units: List[Tuple] = []
         self._results: Optional[np.ndarray] = None
         self._indel_bias = indel_bias
         self._memo = memo
-        # drift-corrected levels per (read, strand, event range): every
-        # haplotype/methylation alternative of a unit — and in screening,
-        # every candidate edit of a read — scores the same event slice
-        self._levels_cache: dict = {}
 
     def add(self, sequences: List[HMMInputSequence], data: EventSequence) -> int:
         key = None
         if self._memo is not None:
-            key = (tuple((hs.seq, hs.alphabet.name) for hs in sequences),
-                   data.sr.read_name, data.strand, data.rc,
+            frags = []
+            for hs in sequences:
+                f = getattr(hs, "_seq_key", None)
+                if f is None:
+                    f = hs._seq_key = (hs.seq, hs.alphabet.name)
+                frags.append(f)
+            key = (tuple(frags), data.sr.read_name, data.strand, data.rc,
                    data.event_start_idx, data.event_stop_idx,
                    self._indel_bias)
             hit = self._memo.get(key)
             if hit is not None:
                 self._units.append((None, hit, None))
                 return len(self._units) - 1
-        start = len(self._segments)
-        lkey = (id(data.sr), data.strand, data.event_start_idx,
-                data.event_stop_idx)
-        levels = self._levels_cache.get(lkey)
-        if levels is None:
-            levels = segment_levels(data.sr, data.strand,
-                                    data.event_start_idx,
-                                    data.event_stop_idx)
-            self._levels_cache[lkey] = levels
+        start = len(self._pend)
         for hs in sequences:
-            model = data.sr.get_model(data.strand, hs.alphabet.name) \
-                if hs.alphabet.name != "nucleotide" \
-                else data.sr.base_model[data.strand]
-            k = model.k
-            ranks = hs.kmer_ranks(k, data.rc)
-            self._segments.append(make_segment(
-                data.sr, data.strand, ranks, data.event_start_idx,
-                data.event_stop_idx, model=model, flags=ALIGNMENT_FLAGS,
-                levels=levels))
+            self._pend.append((hs, data))
         self._units.append((start, len(sequences), key))
         return len(self._units) - 1
 
     def flush(self):
-        scores = forward_segments(self._segments,
-                                  indel_bias=self._indel_bias) \
-            if self._segments else np.zeros(0, np.float32)
+        scores = self._score_pending() if self._pend \
+            else np.zeros(0, np.float32)
         out = np.zeros(len(self._units), np.float64)
-        for i, (start, count, key) in enumerate(self._units):
-            if start is None:               # memo hit recorded in add()
-                out[i] = count
-                continue
-            vals = scores[start:start + count].astype(np.float64)
-            m = vals.max()
-            out[i] = m + math.log(np.exp(vals - m).sum()) - math.log(count)
-            if self._memo is not None:
-                self._memo[key] = out[i]
+        memo = self._memo
+        single = all(count == 1 for start, count, _ in self._units
+                     if start is not None)
+        if single:
+            # common case (no methylation alternatives): the log-mean of
+            # one value is the value — one vectorized scatter
+            starts = np.array([s if s is not None else -1
+                               for s, _, _ in self._units], np.int64)
+            pend_mask = starts >= 0
+            out[~pend_mask] = [c for s, c, _ in self._units if s is None]
+            out[pend_mask] = scores[starts[pend_mask]].astype(np.float64)
+            if memo is not None:
+                for i in np.flatnonzero(pend_mask):
+                    memo[self._units[i][2]] = out[i]
+        else:
+            for i, (start, count, key) in enumerate(self._units):
+                if start is None:           # memo hit recorded in add()
+                    out[i] = count
+                    continue
+                vals = scores[start:start + count].astype(np.float64)
+                m = vals.max()
+                out[i] = m + math.log(np.exp(vals - m).sum()) - math.log(count)
+                if memo is not None:
+                    memo[key] = out[i]
         self._results = out
+
+    def _score_pending(self) -> np.ndarray:
+        """Build the kernel input matrices for all pending segments and
+        score them via alignment.segments.forward_arrays.  The per-row
+        values are byte-identical to what make_segment + forward_segments
+        would produce (same cached read tables, same whole-read
+        drift-level slices)."""
+        n = len(self._pend)
+        n_ev = np.zeros(n, np.int32)
+        n_km = np.zeros(n, np.int32)
+        epb = np.zeros(n, np.float32)
+        rows = []
+        tab_cache: dict = {}
+        for i, (hs, data) in enumerate(self._pend):
+            model = data.sr.get_model(data.strand, hs.alphabet.name) \
+                if hs.alphabet.name != "nucleotide" \
+                else data.sr.base_model[data.strand]
+            ranks = hs.kmer_ranks(model.k, data.rc)
+            ckey = (id(data.sr), data.strand, id(model))
+            tabs = tab_cache.get(ckey)
+            if tabs is None:
+                tabs = tab_cache[ckey] = _model_tables(
+                    data.sr, data.strand, model)
+            e1, e2 = data.event_start_idx, data.event_stop_idx
+            n_ev[i] = abs(e2 - e1) + 1
+            n_km[i] = len(ranks)
+            epb[i] = data.sr.events_per_base[data.strand]
+            rows.append((tabs, ranks, data.sr, data.strand, e1, e2))
+
+        Tmax = int(n_ev.max())
+        Kmax = int(n_km.max())
+        levels_mat = np.zeros((n, Tmax), np.float32)
+        mu_mat = np.zeros((n, Kmax), np.float32)
+        sigma_mat = np.ones((n, Kmax), np.float32)
+        lv_cache: dict = {}
+        for i, (tabs, ranks, sr, strand, e1, e2) in enumerate(rows):
+            nk = len(ranks)
+            mu_mat[i, :nk] = tabs[0][ranks]
+            sigma_mat[i, :nk] = tabs[1][ranks]
+            lkey = (id(sr), strand, e1, e2)
+            lv = lv_cache.get(lkey)
+            if lv is None:
+                lv = lv_cache[lkey] = segment_levels(sr, strand, e1, e2)
+            levels_mat[i, :len(lv)] = lv
+        flags = np.full(n, ALIGNMENT_FLAGS, np.int32)
+        return forward_arrays(levels_mat, n_ev, mu_mat, sigma_mat, n_km,
+                              epb, flags, indel_bias=self._indel_bias)
 
     def get(self, unit_idx: int) -> float:
         return float(self._results[unit_idx])
@@ -199,8 +251,15 @@ def score_variants_batched(variant_jobs, methylation_types,
     alive = [ji for ji, p in enumerate(prepared) if p is not None]
     max_events = max((len(p[2]) for p in prepared if p is not None),
                      default=0)
-    step = chunk_reads if screen_threshold is not None else max(max_events, 1)
-    for lo in range(0, max_events, step):
+    # geometric chunk schedule: most screening candidates are losers
+    # whose running sum dives immediately, so the first checkpoint comes
+    # after chunk_reads/2 reads and later chunks double — every variant
+    # the reference would accept still gets the identical untruncated
+    # total (survivors score every read), losers stop ~2x sooner
+    lo = 0
+    step = max(1, chunk_reads // 2) if screen_threshold is not None \
+        else max(max_events, 1)
+    while lo < max_events:
         b = ScoreBatcher(indel_bias, memo=memo)
         units = []
         for ji in alive:
@@ -216,6 +275,8 @@ def score_variants_batched(variant_jobs, methylation_types,
             alive = [ji for ji in alive if totals[ji] > -screen_threshold]
             if not alive:
                 break
+        lo += step
+        step *= 2
     return totals
 
 

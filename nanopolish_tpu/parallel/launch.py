@@ -45,6 +45,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "127.0.0.1:<free port>; 'none' disables)")
     p.add_argument("--stdout", default="",
                    help="per-process stdout file pattern with {i}")
+    p.add_argument("--pin-cores", type=int, default=0, metavar="C",
+                   help="pin child i to C disjoint CPU cores (cores "
+                        "i*C..(i+1)*C-1): keeps per-process host "
+                        "resources constant so process scaling is "
+                        "measurable on a shared host")
     p.add_argument("command", nargs=argparse.REMAINDER,
                    help="-- <subcommand> [args...] ({i}/{n} substituted)")
     return p
@@ -76,9 +81,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             out = open(opt.stdout.replace("{i}", str(i)).replace(
                 "{n}", str(n)), "w")
             files.append(out)
+        preexec = None
+        if opt.pin_cores:
+            cores = set(range(i * opt.pin_cores, (i + 1) * opt.pin_cores))
+
+            def preexec(cores=cores):  # noqa: E731
+                os.sched_setaffinity(0, cores)
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "nanopolish_tpu"] + args,
-            env=env, stdout=out))
+            env=env, stdout=out, preexec_fn=preexec))
     rc = 0
     for p in procs:
         rc = rc or p.wait()

@@ -140,8 +140,13 @@ class Alphabet:
         if n <= 0:
             return np.zeros((0,), dtype=np.int32)
         powers = _rank_powers(self.size, k)
-        windows = np.lib.stride_tricks.sliding_window_view(base_ranks, k)
-        return (windows @ powers).astype(np.int32)
+        # k strided adds instead of sliding_window_view + matmul: the
+        # window view costs ~30 us of setup, which dominates for the
+        # short variant-screening windows (thousands per region)
+        acc = base_ranks[:n] * powers[0]
+        for j in range(1, k):
+            acc += base_ranks[j:j + n] * powers[j]
+        return acc.astype(np.int32)
 
     def rank_to_kmer(self, rank: int, k: int) -> str:
         out = []
