@@ -78,7 +78,8 @@ def ea_pipe(tmp_path_factory):
     ref_fa = str(d / "ref.fa")
     _write_fa(ref_fa, "tig1", genome)
     fastq, slow5 = str(d / "reads.fastq"), str(d / "sig.slow5")
-    plan = [("gr0", 40, False), ("gr1", 420, True)]
+    plan = [("gr0", 40, False), ("gr1", 420, True),
+            ("gr2", 180, False), ("gr3", 560, True)]
     L = 300
     with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
         for name, pos, is_rev in plan:
@@ -205,3 +206,86 @@ def test_golden_consensus_vcf(cons_pipe):
                   "-w", "tig1:0-299", "--consensus", "-o", vcf_path,
                   "-d", "5"])
     _check_golden("consensus.vcf", open(vcf_path).read())
+
+
+def test_golden_eventalign_sam(ea_pipe):
+    """eventalign --sam emits the reference's event-to-basecall SAM
+    records (eventalign.cpp emit_event_alignment_sam)."""
+    p = ea_pipe
+    out = io.StringIO()
+    ea_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"],
+                 "--sam"], stdout=out)
+    _check_golden("eventalign.sam", out.getvalue())
+
+
+def _render_bam(path):
+    """Stable text rendering of a BAM for byte-frozen goldens."""
+    from nanopolish_tpu.io.bam import BamReader
+    r = BamReader(path)
+    lines = [r.header_text.rstrip("\n")]
+    for rec in r:
+        lines.append(rec.to_sam(r.references))
+    r.close()
+    return "\n".join(lines) + "\n"
+
+
+@pytest.mark.parametrize("style", ["read", "reference"])
+def test_golden_modbam(meth_pipe, tmp_path, style):
+    """Both modbam styles (basemods.cpp:107-235) frozen as SAM text."""
+    p = meth_pipe
+    out = io.StringIO()
+    modbam = str(tmp_path / f"mods_{style}.bam")
+    meth_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"],
+                   "--modbam-output-name", modbam,
+                   "--modbam-style", style], stdout=out)
+    _check_golden(f"modbam_{style}.sam", _render_bam(modbam))
+
+
+@pytest.fixture(scope="module")
+def polya_pipe(tmp_path_factory):
+    from nanopolish_tpu.utils.synthetic import random_sequence as rand_seq
+    from tests.test_polya_e2e import (_rna_read_signal, SAMPLE_RATE,
+                                      TRANSCRIPT_LEN)
+
+    d = tmp_path_factory.mktemp("golden_polya")
+    rng = np.random.default_rng(97)
+    model = PoreModelSet.instance().get_model(
+        "r9.4_70bps", "u_to_t_rna", "template", 5)
+    transcript = rand_seq(rng, TRANSCRIPT_LEN)
+    ref_fa = str(d / "ref.fa")
+    _write_fa(ref_fa, "rna1", transcript)
+    fastq, slow5 = str(d / "reads.fastq"), str(d / "sig.slow5")
+    n_reads = 3
+    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+        for i in range(n_reads):
+            fq.write(f"@grna{i}\n{transcript}\n+\n{'I' * TRANSCRIPT_LEN}\n")
+            pa = _rna_read_signal(rng, transcript, model)
+            sw.write(f"grna{i}", _adc(pa), 8192.0, 0.0, 1400.0, SAMPLE_RATE)
+    index_app.main([fastq, "--slow5", slow5])
+    bam = str(d / "aln.bam")
+    w = BamWriter(bam, "@HD\tVN:1.6\tSO:coordinate\n", ["rna1"],
+                  [TRANSCRIPT_LEN])
+    for i in range(n_reads):
+        w.write(BamRecord(qname=f"grna{i}", tid=0, pos=0, mapq=60,
+                          cigar=[(0, TRANSCRIPT_LEN)], seq=transcript,
+                          qual=np.full(TRANSCRIPT_LEN, 30, np.uint8)))
+    w.close()
+    return dict(ref_fa=ref_fa, fastq=fastq, bam=bam)
+
+
+def test_golden_polya_tsv(polya_pipe, monkeypatch):
+    """polya TSV (quickstart_polya.rst output block) byte-frozen."""
+    from nanopolish_tpu.apps import polya as polya_app
+    from nanopolish_tpu.io.slow5 import Slow5Record
+
+    orig = Slow5Record.to_fast5_data
+
+    def rna_to_fast5(self, kit="", experiment_type="dna"):
+        return orig(self, kit=kit, experiment_type="rna")
+
+    monkeypatch.setattr(Slow5Record, "to_fast5_data", rna_to_fast5)
+    p = polya_pipe
+    out = io.StringIO()
+    polya_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"]],
+                   stdout=out)
+    _check_golden("polya.tsv", out.getvalue())
