@@ -8,6 +8,13 @@ from __future__ import annotations
 import os
 import sys
 
+# Persistent compile cache: multi-process launches (parallel.launch,
+# --watch shards) otherwise recompile every kernel shape per process —
+# on CPU backends that is seconds per shape, on remotely-attached TPU
+# minutes.  Must be set before any backend initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/npt_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 # Platform pinning must happen before any backend use: this image's TPU
 # plugin overrides the JAX_PLATFORMS env var, so launcher children (and
 # tests) that need the CPU backend set NPT_PLATFORM instead, which wins

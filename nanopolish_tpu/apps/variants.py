@@ -457,9 +457,12 @@ def annotate_variants_with_all_support(variants, alignments: AlignmentDB,
 
 def score_variant_group(group: VariantGroup, base_haplotype: Haplotype,
                         events: List[EventSequence], opts: Opts,
-                        memo: Optional[dict] = None):
+                        memo: Optional[dict] = None, batcher=None):
     """nanopolish_variant.cpp:182-262, batched over
-    (haplotype-combination x read)."""
+    (haplotype-combination x read).  With a shared `batcher`, units are
+    only ENQUEUED and a finisher callable is returned — the caller
+    flushes once for all groups (one device sync instead of one per
+    group)."""
     num_variants = group.get_num_variants()
     sum_h = 0
     max_r = 1
@@ -494,16 +497,23 @@ def score_variant_group(group: VariantGroup, base_haplotype: Haplotype,
         read_ids.append(rid)
         group.set_read_strand(rid, ev.rc)
 
-    b = ScoreBatcher(opts.indel_bias, memo=memo)
+    b = batcher if batcher is not None \
+        else ScoreBatcher(opts.indel_bias, memo=memo)
     units = []
     for ri, ev in enumerate(events):
         for hap, vc_idx in haplotypes:
             seqs = generate_methylated_alternatives(hap.get_sequence(),
                                                     opts.methylation_types)
             units.append((vc_idx, read_ids[ri], b.add(seqs, ev)))
+
+    def finish():
+        for vc_idx, rid, u in units:
+            group.set_combination_read_score(vc_idx, rid, b.get(u))
+
+    if batcher is not None:
+        return finish              # caller flushes ONCE across groups
     b.flush()
-    for vc_idx, rid, u in units:
-        group.set_combination_read_score(vc_idx, rid, b.get(u))
+    finish()
 
 
 def make_genotype(alt_count: int, ploidy: int) -> str:
@@ -789,9 +799,10 @@ def call_haplotype_from_candidates(alignments: AlignmentDB,
                         alignments.get_region_start(),
                         alignments.get_reference())
     db = VariantDB()
-    group_spans = []
     curr = 0
     n = len(candidate_variants)
+    shared = ScoreBatcher(opts.indel_bias, memo=alignments.score_memo)
+    finishers = []
     while curr < n:
         end = curr + 1
         while end < n:
@@ -811,12 +822,18 @@ def call_haplotype_from_candidates(alignments: AlignmentDB,
             events = alignments.get_event_subsequences(
                 alignments.get_region_contig(), calling_start, calling_end)
             gid = db.add_new_group(candidate_variants[curr:end])
-            score_variant_group(db.get_group(gid), calling_hap, events, opts,
-                                memo=alignments.score_memo)
+            finishers.append(score_variant_group(
+                db.get_group(gid), calling_hap, events, opts,
+                memo=alignments.score_memo, batcher=shared))
         else:
             print(f"Warning: {end - curr} variants in span, region not "
                   f"called [{calling_start} {calling_end}]", file=sys.stderr)
         curr = end
+    # ONE flush for every group's haplotype combinations (each device
+    # sync costs a relay round trip on remotely-attached chips)
+    shared.flush()
+    for fin in finishers:
+        fin()
 
     for gi in range(db.get_num_groups()):
         called = simple_call(db.get_group(gi), opts.ploidy,

@@ -318,7 +318,7 @@ class Slow5Writer:
     def write(self, read_id: str, raw_adc: np.ndarray, digitisation: float,
               offset: float, range_: float, sampling_rate: float,
               start_time: int = 0, channel: int = 0):
-        sig = ",".join(str(int(v)) for v in raw_adc)
+        sig = ",".join(map(str, np.asarray(raw_adc).astype(int).tolist()))
         self._fh.write(f"{read_id}\t0\t{digitisation}\t{offset}\t{range_}\t"
                        f"{sampling_rate}\t{len(raw_adc)}\t{sig}\t{start_time}\t{channel}\n")
 
