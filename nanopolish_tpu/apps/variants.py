@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 from typing import Dict, List, Optional, Sequence, TextIO, Tuple
 
@@ -166,51 +167,108 @@ class ScoreBatcher:
         self._results = out
 
     def _score_pending(self) -> np.ndarray:
-        """Build the kernel input matrices for all pending segments and
-        score them via alignment.segments.forward_arrays.  The per-row
-        values are byte-identical to what make_segment + forward_segments
-        would produce (same cached read tables, same whole-read
-        drift-level slices)."""
+        """Score all pending segments.  On TPU backends this builds the
+        INDEXED wire (ops/pallas_profile_hmm.forward_indexed): unique
+        level slices, per-read model tables, and unique rank rows ship
+        once, plus four small ids per segment — at variants-screening
+        volume the flat format's h2d traffic (2.1 kB/segment of mostly
+        shared or padded data) dominated the whole app.  Off-TPU, the
+        flat array path (forward_arrays) keeps CPU runs on the scan
+        kernels.  Scores are identical either way: the device gathers
+        reproduce _pack_hmm_inputs' exact f32 expressions from the same
+        host-computed tables."""
+        import jax
+
+        use_indexed = os.environ.get("NPT_HMM_INDEXED", "1") != "0" and \
+            jax.default_backend() in ("tpu", "axon")
+
         n = len(self._pend)
-        n_ev = np.zeros(n, np.int32)
-        n_km = np.zeros(n, np.int32)
-        epb = np.zeros(n, np.float32)
-        rows = []
-        tab_cache: dict = {}
+        ids = np.zeros((n, 4), np.int32)
+        ev_rows: List[Tuple] = []      # (sr, strand, e1, e2)
+        tab_rows: List[Tuple] = []     # (sr, strand, model)
+        rank_rows: List[np.ndarray] = []
+        trans_rows: List[float] = []   # epb per (sr, strand)
+        ev_ids: dict = {}
+        tab_ids: dict = {}
+        rank_ids: dict = {}
+        trans_ids: dict = {}
         for i, (hs, data) in enumerate(self._pend):
             model = data.sr.get_model(data.strand, hs.alphabet.name) \
                 if hs.alphabet.name != "nucleotide" \
                 else data.sr.base_model[data.strand]
-            ranks = hs.kmer_ranks(model.k, data.rc)
-            ckey = (id(data.sr), data.strand, id(model))
-            tabs = tab_cache.get(ckey)
-            if tabs is None:
-                tabs = tab_cache[ckey] = _model_tables(
-                    data.sr, data.strand, model)
-            e1, e2 = data.event_start_idx, data.event_stop_idx
-            n_ev[i] = abs(e2 - e1) + 1
-            n_km[i] = len(ranks)
-            epb[i] = data.sr.events_per_base[data.strand]
-            rows.append((tabs, ranks, data.sr, data.strand, e1, e2))
+            ekey = (id(data.sr), data.strand, data.event_start_idx,
+                    data.event_stop_idx)
+            ei = ev_ids.get(ekey)
+            if ei is None:
+                ei = ev_ids[ekey] = len(ev_rows)
+                ev_rows.append((data.sr, data.strand, data.event_start_idx,
+                                data.event_stop_idx))
+            tkey = (id(data.sr), data.strand, id(model))
+            ti = tab_ids.get(tkey)
+            if ti is None:
+                ti = tab_ids[tkey] = len(tab_rows)
+                tab_rows.append((data.sr, data.strand, model))
+            rkey = (id(hs), data.rc, model.k)
+            ri = rank_ids.get(rkey)
+            if ri is None:
+                ri = rank_ids[rkey] = len(rank_rows)
+                rank_rows.append(hs.kmer_ranks(model.k, data.rc))
+            xkey = (id(data.sr), data.strand)
+            xi = trans_ids.get(xkey)
+            if xi is None:
+                xi = trans_ids[xkey] = len(trans_rows)
+                trans_rows.append(
+                    float(data.sr.events_per_base[data.strand]))
+            ids[i, 0] = ei
+            ids[i, 1] = ti
+            ids[i, 2] = ri
+            ids[i, 3] = xi
 
-        Tmax = int(n_ev.max())
-        Kmax = int(n_km.max())
-        levels_mat = np.zeros((n, Tmax), np.float32)
-        mu_mat = np.zeros((n, Kmax), np.float32)
-        sigma_mat = np.ones((n, Kmax), np.float32)
-        lv_cache: dict = {}
-        for i, (tabs, ranks, sr, strand, e1, e2) in enumerate(rows):
-            nk = len(ranks)
-            mu_mat[i, :nk] = tabs[0][ranks]
-            sigma_mat[i, :nk] = tabs[1][ranks]
-            lkey = (id(sr), strand, e1, e2)
-            lv = lv_cache.get(lkey)
-            if lv is None:
-                lv = lv_cache[lkey] = segment_levels(sr, strand, e1, e2)
-            levels_mat[i, :len(lv)] = lv
-        flags = np.full(n, ALIGNMENT_FLAGS, np.int32)
-        return forward_arrays(levels_mat, n_ev, mu_mat, sigma_mat, n_km,
-                              epb, flags, indel_bias=self._indel_bias)
+        n_ev_u = np.array([abs(e2 - e1) + 1 for _, _, e1, e2 in ev_rows],
+                          np.int32)
+        n_km_u = np.array([len(r) for r in rank_rows], np.int32)
+        Tc = int(n_ev_u.max())
+        Kc = int(n_km_u.max())
+        levels_u = np.zeros((len(ev_rows), Tc), np.float32)
+        for e, (sr, strand, e1, e2) in enumerate(ev_rows):
+            lv = segment_levels(sr, strand, e1, e2)
+            levels_u[e, :len(lv)] = lv
+        rank_mat = np.zeros((len(rank_rows), Kc), np.int32)
+        for r, rk in enumerate(rank_rows):
+            rank_mat[r, :len(rk)] = rk
+
+        if not use_indexed:
+            # flat path: expand per-segment matrices (scan kernels off-TPU)
+            mu_mat = np.zeros((n, Kc), np.float32)
+            sigma_mat = np.ones((n, Kc), np.float32)
+            tab_pairs = [_model_tables(sr, strand, model)
+                         for sr, strand, model in tab_rows]
+            for i in range(n):
+                rk = rank_rows[ids[i, 2]]
+                mu_t, sig_t = tab_pairs[ids[i, 1]]
+                mu_mat[i, :len(rk)] = mu_t[rk]
+                sigma_mat[i, :len(rk)] = sig_t[rk]
+            epb = np.array(trans_rows, np.float32)[ids[:, 3]]
+            return forward_arrays(
+                levels_u[ids[:, 0]], n_ev_u[ids[:, 0]], mu_mat, sigma_mat,
+                n_km_u[ids[:, 2]], epb, np.full(n, ALIGNMENT_FLAGS, np.int32),
+                indel_bias=self._indel_bias)
+
+        from ..ops.pallas_profile_hmm import _np_transitions, forward_indexed
+
+        S = max(len(model.level_mean) for _, _, model in tab_rows)
+        tabs = np.zeros((3, len(tab_rows), S), np.float32)
+        tabs[1] += 1.0
+        for t, (sr, strand, model) in enumerate(tab_rows):
+            mu_t, sig_t = _model_tables(sr, strand, model)
+            tabs[0, t, :len(mu_t)] = mu_t
+            tabs[1, t, :len(sig_t)] = sig_t
+            tabs[2, t, :len(sig_t)] = np.log(np.maximum(sig_t, 1e-30))
+        trans_u = _np_transitions(np.array(trans_rows, np.float32),
+                                  self._indel_bias)
+        return forward_indexed(levels_u, n_ev_u, tabs, rank_mat, n_km_u,
+                               trans_u, ids,
+                               np.full(n, ALIGNMENT_FLAGS, np.int32))
 
     def get(self, unit_idx: int) -> float:
         return float(self._results[unit_idx])

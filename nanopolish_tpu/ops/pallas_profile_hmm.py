@@ -368,6 +368,194 @@ def _iota_np(b, n):
 
 
 # ---------------------------------------------------------------------------
+# Indexed Forward drain: device-side segment assembly
+# ---------------------------------------------------------------------------
+# High-volume scoring callers (variants screening: ~200k segments per
+# 1.2 kb window) were transfer-bound: the flat wire format ships
+# TP + 3*KP + 12 floats per segment (~2.1 kB) although a segment's
+# unique data is 3 small integers — its event range, its read's model
+# tables, and its kmer-rank row are all SHARED with hundreds of sibling
+# segments.  The indexed wire transfers each unique piece once:
+#
+#   levels_unique [E, Tc]   drift-corrected event slices (one per unique
+#                           (read, strand, e1, e2) range)
+#   tabs [3, R, S]          per-(read, strand, model) mu / sigma /
+#                           log-sigma tables (log computed on HOST so
+#                           scores stay bit-identical to the flat path)
+#   rank_mat [U, Kc]        unique kmer-rank rows
+#   trans_u [R2, 8]         per-(read, strand) transition rows
+#   ids [n, 4]              per-segment (ev_id, tab_id, rank_id, trans_id)
+#   n_ev_u [E], n_km_u [U], clips [n, 2]
+#
+# and the jitted program gathers + pads on device, then runs the SAME
+# Forward kernel.  Everything rides ONE h2d array (ints bitcast into the
+# f32 payload).
+
+def _pack_indexed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
+                  ids, clips):
+    parts = [levels_unique.ravel(),
+             n_ev_u.view(np.float32),
+             tabs.ravel(),
+             rank_mat.view(np.float32).ravel(),
+             n_km_u.view(np.float32),
+             trans_u.ravel(),
+             ids.view(np.float32).ravel(),
+             clips.ravel()]
+    return np.concatenate(parts)
+
+
+@functools.partial(jax.jit, static_argnames=("E", "Tc", "R", "S", "U", "Kc",
+                                             "R2", "n", "TP", "KP"))
+def _forward_indexed_call(wire, E, Tc, R, S, U, Kc, R2, n, TP, KP):
+    o = 0
+
+    def take(count, shape, dtype=jnp.float32):
+        nonlocal o
+        flat = jax.lax.dynamic_slice(wire, (o,), (count,))
+        o += count
+        if dtype != jnp.float32:
+            flat = jax.lax.bitcast_convert_type(flat, dtype)
+        return flat.reshape(shape)
+
+    levels_u = take(E * Tc, (E, Tc))
+    n_ev_u = take(E, (E,), jnp.int32)
+    tabs = take(3 * R * S, (3, R, S))
+    rank_mat = take(U * Kc, (U, Kc), jnp.int32)
+    n_km_u = take(U, (U,), jnp.int32)
+    trans_u = take(R2 * 8, (R2, 8))
+    ids = take(n * 4, (n, 4), jnp.int32)
+    clips = take(n * 2, (n, 2))
+
+    ev_id, tab_id, rank_id, trans_id = (ids[:, 0], ids[:, 1], ids[:, 2],
+                                        ids[:, 3])
+    ranks = rank_mat[rank_id]                      # [n, Kc]
+    mu = tabs[0][tab_id[:, None], ranks]
+    sig = tabs[1][tab_id[:, None], ranks]
+    logsig = tabs[2][tab_id[:, None], ranks]
+    n_km = n_km_u[rank_id]
+    kmask = jax.lax.broadcasted_iota(jnp.int32, (n, Kc), 1) < n_km[:, None]
+    # identical expressions to _pack_hmm_inputs (f32 elementwise ops are
+    # bit-deterministic, so scores match the flat wire path)
+    inv = 1.0 / jnp.maximum(sig, 1e-30)
+    a_tab = jnp.where(kmask, inv, 0.0)
+    b2_tab = jnp.where(kmask, mu * inv, 0.0)
+    c0_tab = jnp.where(kmask, np.float32(LOG_INV_SQRT_2PI) - logsig, NEG)
+    pad_k = ((0, 0), (0, KP - Kc))
+    a_tab = jnp.pad(a_tab, pad_k)
+    b2_tab = jnp.pad(b2_tab, pad_k)
+    c0_tab = jnp.pad(c0_tab, pad_k, constant_values=NEG)
+
+    ev = jnp.pad(levels_u[ev_id], ((0, 0), (0, TP - Tc)))
+    nev = jnp.maximum(n_ev_u[ev_id], 1)[:, None]
+    nk = jnp.maximum(n_km, 1)[:, None]
+    trans = trans_u[trans_id]
+    return _profile_hmm_forward_call(ev, a_tab, b2_tab, c0_tab, nev, nk,
+                                     trans, clips)
+
+
+def _pad_rows(x, n, fill=0):
+    if x.shape[0] == n:
+        return x
+    pad = np.full((n - x.shape[0],) + x.shape[1:], fill, x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
+def _pad_cols(x, w, fill=0):
+    if x.shape[1] == w:
+        return x
+    if x.shape[1] > w:
+        return x[:, :w]
+    pad = np.full((x.shape[0], w - x.shape[1]), fill, x.dtype)
+    return np.concatenate([x, pad], axis=1)
+
+
+def forward_indexed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
+                    ids, flags, indel_bias_applied=True):
+    """Score n segments given the indexed wire pieces (see block comment).
+
+    levels_unique [E, Tc] f32, n_ev_u [E] i32, tabs [3, R, S] f32
+    (mu/sigma/log-sigma), rank_mat [U, Kc] i32, n_km_u [U] i32,
+    trans_u [R2, 8] f32 (already indel-bias adjusted), ids [n, 4] i32,
+    flags [n] i32.  Returns [n] f32 Forward scores.  Dispatches one
+    device call per (TP, KP) bucket; every input rides one h2d array.
+    """
+    n = ids.shape[0]
+    out = np.zeros(n, np.float32)
+    if n == 0:
+        return out
+    n_ev = n_ev_u[ids[:, 0]]
+    n_km = n_km_u[ids[:, 2]]
+    tp_all = np.maximum(R, np.exp2(np.ceil(np.log2(
+        np.maximum(n_ev, 1)))).astype(np.int64))
+    kp_all = np.maximum(128, np.exp2(np.ceil(np.log2(
+        np.maximum(n_km, 1)))).astype(np.int64))
+    clips = np.stack([(flags & HAF_ALLOW_PRE_CLIP) > 0,
+                      (flags & HAF_ALLOW_POST_CLIP) > 0],
+                     axis=1).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    pending = []
+    for key in {(int(t), int(k)) for t, k in zip(tp_all, kp_all)}:
+        TP, KP = key
+        sel = np.flatnonzero((tp_all == TP) & (kp_all == KP))
+        # VMEM-derived batch cap (same budget as the flat drain: the
+        # kernel's scratch is 4 x [B, KP] f32 and its row blocks are
+        # [B, 128] — an uncapped B would blow past physical VMEM)
+        bytes_per_seg = 4 * (TP + 3 * KP + 12) + 16 * KP
+        cap = 512
+        while cap * 2 * bytes_per_seg <= (45 << 20) and cap < 4096:
+            cap *= 2
+        # sub-select the unique rows this bucket touches so the wire
+        # stays proportional to the bucket
+        for lo in range(0, len(sel), cap):
+            ii = sel[lo:lo + cap]
+            sub = ids[ii]
+            ue, ue_inv = np.unique(sub[:, 0], return_inverse=True)
+            ur, ur_inv = np.unique(sub[:, 2], return_inverse=True)
+            # quantize the compact widths (they are STATIC compile
+            # shapes — unquantized, every flush with a new max length
+            # would compile a fresh program, minutes each on
+            # remotely-attached chips)
+            Tc = min(_pad_to(int(n_ev_u[ue].max()), 64), TP)
+            Kc = min(_pad_to(int(n_km_u[ur].max()), 32), KP)
+            lev_b = np.ascontiguousarray(
+                _pad_cols(levels_unique[ue], Tc))
+            rank_b = np.ascontiguousarray(_pad_cols(rank_mat[ur], Kc))
+            sub2 = np.stack([ue_inv, sub[:, 1], ur_inv, sub[:, 3]],
+                            axis=1).astype(np.int32)
+            # pad row counts to powers of two (compile-shape hygiene:
+            # E/U/B/R/R2 are static shapes, so arbitrary counts would
+            # compile fresh programs)
+            E = _pad_to_pow2(lev_b.shape[0])
+            U = _pad_to_pow2(rank_b.shape[0])
+            B = _pad_to_pow2(sub2.shape[0])
+            Rp = _pad_to_pow2(tabs.shape[1])
+            R2 = _pad_to_pow2(trans_u.shape[0])
+            S = _pad_to_pow2(tabs.shape[2], lo=1024)
+            tabs_p = np.zeros((3, Rp, S), np.float32)
+            tabs_p[1] += 1.0
+            tabs_p[:, :tabs.shape[1], :tabs.shape[2]] = tabs
+            wire = _pack_indexed(
+                _pad_rows(lev_b, E), _pad_rows(n_ev_u[ue], E, 1),
+                tabs_p,
+                _pad_rows(rank_b, U), _pad_rows(n_km_u[ur], U, 1),
+                _pad_rows(trans_u.astype(np.float32), R2),
+                _pad_rows(sub2, B),
+                _pad_rows(clips[ii].astype(np.float32), B))
+            dev = _forward_indexed_call(
+                jnp.asarray(wire), E, Tc, Rp, S, U, Kc, R2, B, TP, KP)
+            pending.append((ii, dev, len(ii)))
+    flat = np.asarray(jnp.concatenate([d[:b, 0] for _, d, b in pending])) \
+        if len(pending) > 1 else np.asarray(pending[0][1][:pending[0][2], 0])
+    off = 0
+    for ii, _d, b in pending:
+        out[ii] = flat[off:off + b]
+        off += b
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Viterbi + trace kernels (profile_hmm_align fast path)
 # ---------------------------------------------------------------------------
 # Trace encoding per cell:
