@@ -11,6 +11,7 @@ the reference's per-call profile_hmm_score/align
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -18,8 +19,8 @@ import numpy as np
 
 from ..models.squiggle import SquiggleRead
 from ..ops.profile_hmm import (
-    make_transitions, profile_hmm_forward, profile_hmm_viterbi,
-    viterbi_backtrack,
+    HAF_ALLOW_POST_CLIP, HAF_ALLOW_PRE_CLIP, make_transitions,
+    profile_hmm_forward, profile_hmm_viterbi, viterbi_backtrack,
 )
 
 
@@ -441,3 +442,197 @@ def forward_segments(segments: Sequence[HMMSegment],
                 flags=flags, indel_bias=indel_bias)
             out[np.asarray(chunk)] = np.asarray(lp)
     return out
+
+
+class ScoreBatcher:
+    """Pools (sequence-set, event-range) scoring units; flush() runs one
+    padded device sweep and resolves every unit to its
+    profile_hmm_score_set value (log-mean over alternative sequences,
+    profile_hmm.cpp:32-56).
+
+    With a `memo` dict (AlignmentDB.score_memo), resolved unit scores
+    are cached by (sequence set, read, strand, event range): the
+    polishing loop re-screens every candidate each round and scores the
+    shared base haplotype once per candidate edit at a position — both
+    are deterministic for a loaded region, so repeats skip the device
+    entirely."""
+
+    def __init__(self, indel_bias: float = 1.0,
+                 memo: Optional[dict] = None,
+                 flags: int = HAF_ALLOW_PRE_CLIP | HAF_ALLOW_POST_CLIP):
+        self._flags = flags
+        # per-SEGMENT lightweight tuples (hs, data); everything heavy
+        # (rank gathers, level slices, padding) happens ONCE in flush()
+        # at array level — the per-segment-object path measured 41 us of
+        # host Python per segment at variants-screening volume (184k
+        # segments/window)
+        self._pend: List[Tuple] = []
+        # unit -> (start, count, memo_key) pending, or (None, value, None)
+        self._units: List[Tuple] = []
+        self._results: Optional[np.ndarray] = None
+        self._indel_bias = indel_bias
+        self._memo = memo
+
+    def add(self, sequences: List[HMMInputSequence], data: EventSequence) -> int:
+        key = None
+        if self._memo is not None:
+            frags = []
+            for hs in sequences:
+                f = getattr(hs, "_seq_key", None)
+                if f is None:
+                    f = hs._seq_key = (hs.seq, hs.alphabet.name)
+                frags.append(f)
+            key = (tuple(frags), data.sr.read_name, data.strand, data.rc,
+                   data.event_start_idx, data.event_stop_idx,
+                   self._indel_bias)
+            hit = self._memo.get(key)
+            if hit is not None:
+                self._units.append((None, hit, None))
+                return len(self._units) - 1
+        start = len(self._pend)
+        for hs in sequences:
+            self._pend.append((hs, data))
+        self._units.append((start, len(sequences), key))
+        return len(self._units) - 1
+
+    def flush(self):
+        scores = self._score_pending() if self._pend \
+            else np.zeros(0, np.float32)
+        out = np.zeros(len(self._units), np.float64)
+        memo = self._memo
+        single = all(count == 1 for start, count, _ in self._units
+                     if start is not None)
+        if single:
+            # common case (no methylation alternatives): the log-mean of
+            # one value is the value — one vectorized scatter
+            starts = np.array([s if s is not None else -1
+                               for s, _, _ in self._units], np.int64)
+            pend_mask = starts >= 0
+            out[~pend_mask] = [c for s, c, _ in self._units if s is None]
+            out[pend_mask] = scores[starts[pend_mask]].astype(np.float64)
+            if memo is not None:
+                for i in np.flatnonzero(pend_mask):
+                    memo[self._units[i][2]] = out[i]
+        else:
+            for i, (start, count, key) in enumerate(self._units):
+                if start is None:           # memo hit recorded in add()
+                    out[i] = count
+                    continue
+                vals = scores[start:start + count].astype(np.float64)
+                m = vals.max()
+                out[i] = m + math.log(np.exp(vals - m).sum()) - math.log(count)
+                if memo is not None:
+                    memo[key] = out[i]
+        self._results = out
+
+    def _score_pending(self) -> np.ndarray:
+        """Score all pending segments.  On TPU backends this builds the
+        INDEXED wire (ops/pallas_profile_hmm.forward_indexed): unique
+        level slices, per-read model tables, and unique rank rows ship
+        once, plus four small ids per segment — at variants-screening
+        volume the flat format's h2d traffic (2.1 kB/segment of mostly
+        shared or padded data) dominated the whole app.  Off-TPU, the
+        flat array path (forward_arrays) keeps CPU runs on the scan
+        kernels.  Scores are identical either way: the device gathers
+        reproduce _pack_hmm_inputs' exact f32 expressions from the same
+        host-computed tables."""
+        import jax
+
+        use_indexed = os.environ.get("NPT_HMM_INDEXED", "1") != "0" and \
+            jax.default_backend() in ("tpu", "axon")
+
+        n = len(self._pend)
+        ids = np.zeros((n, 4), np.int32)
+        ev_rows: List[Tuple] = []      # (sr, strand, e1, e2)
+        tab_rows: List[Tuple] = []     # (sr, strand, model)
+        rank_rows: List[np.ndarray] = []
+        trans_rows: List[float] = []   # epb per (sr, strand)
+        ev_ids: dict = {}
+        tab_ids: dict = {}
+        rank_ids: dict = {}
+        trans_ids: dict = {}
+        for i, (hs, data) in enumerate(self._pend):
+            model = data.sr.get_model(data.strand, hs.alphabet.name) \
+                if hs.alphabet.name != "nucleotide" \
+                else data.sr.base_model[data.strand]
+            ekey = (id(data.sr), data.strand, data.event_start_idx,
+                    data.event_stop_idx)
+            ei = ev_ids.get(ekey)
+            if ei is None:
+                ei = ev_ids[ekey] = len(ev_rows)
+                ev_rows.append((data.sr, data.strand, data.event_start_idx,
+                                data.event_stop_idx))
+            tkey = (id(data.sr), data.strand, id(model))
+            ti = tab_ids.get(tkey)
+            if ti is None:
+                ti = tab_ids[tkey] = len(tab_rows)
+                tab_rows.append((data.sr, data.strand, model))
+            rkey = (id(hs), data.rc, model.k)
+            ri = rank_ids.get(rkey)
+            if ri is None:
+                ri = rank_ids[rkey] = len(rank_rows)
+                rank_rows.append(hs.kmer_ranks(model.k, data.rc))
+            xkey = (id(data.sr), data.strand)
+            xi = trans_ids.get(xkey)
+            if xi is None:
+                xi = trans_ids[xkey] = len(trans_rows)
+                trans_rows.append(
+                    float(data.sr.events_per_base[data.strand]))
+            ids[i, 0] = ei
+            ids[i, 1] = ti
+            ids[i, 2] = ri
+            ids[i, 3] = xi
+
+        n_ev_u = np.array([abs(e2 - e1) + 1 for _, _, e1, e2 in ev_rows],
+                          np.int32)
+        n_km_u = np.array([len(r) for r in rank_rows], np.int32)
+        Tc = int(n_ev_u.max())
+        Kc = int(n_km_u.max())
+        levels_u = np.zeros((len(ev_rows), Tc), np.float32)
+        for e, (sr, strand, e1, e2) in enumerate(ev_rows):
+            lv = segment_levels(sr, strand, e1, e2)
+            levels_u[e, :len(lv)] = lv
+        rank_mat = np.zeros((len(rank_rows), Kc), np.int32)
+        for r, rk in enumerate(rank_rows):
+            rank_mat[r, :len(rk)] = rk
+
+        if not use_indexed:
+            # flat path: expand per-segment matrices (scan kernels off-TPU)
+            mu_mat = np.zeros((n, Kc), np.float32)
+            sigma_mat = np.ones((n, Kc), np.float32)
+            tab_pairs = [_model_tables(sr, strand, model)
+                         for sr, strand, model in tab_rows]
+            for i in range(n):
+                rk = rank_rows[ids[i, 2]]
+                mu_t, sig_t = tab_pairs[ids[i, 1]]
+                mu_mat[i, :len(rk)] = mu_t[rk]
+                sigma_mat[i, :len(rk)] = sig_t[rk]
+            epb = np.array(trans_rows, np.float32)[ids[:, 3]]
+            return forward_arrays(
+                levels_u[ids[:, 0]], n_ev_u[ids[:, 0]], mu_mat, sigma_mat,
+                n_km_u[ids[:, 2]], epb, np.full(n, self._flags, np.int32),
+                indel_bias=self._indel_bias)
+
+        from ..ops.pallas_profile_hmm import _np_transitions, forward_indexed
+
+        S = max(len(model.level_mean) for _, _, model in tab_rows)
+        tabs = np.zeros((3, len(tab_rows), S), np.float32)
+        tabs[1] += 1.0
+        for t, (sr, strand, model) in enumerate(tab_rows):
+            mu_t, sig_t = _model_tables(sr, strand, model)
+            tabs[0, t, :len(mu_t)] = mu_t
+            tabs[1, t, :len(sig_t)] = sig_t
+            tabs[2, t, :len(sig_t)] = np.log(np.maximum(sig_t, 1e-30))
+        trans_u = _np_transitions(np.array(trans_rows, np.float32),
+                                  self._indel_bias)
+        return forward_indexed(levels_u, n_ev_u, tabs, rank_mat, n_km_u,
+                               trans_u, ids,
+                               np.full(n, self._flags, np.int32))
+
+    def get(self, unit_idx: int) -> float:
+        return float(self._results[unit_idx])
+
+    @property
+    def scores(self) -> np.ndarray:
+        """All unit scores (valid after flush)."""
+        return self._results

@@ -23,8 +23,8 @@ import numpy as np
 
 from ..alignment.records import (MAX_EVENT_TO_BP_RATIO, EventAlignmentRecord,
                                  SequenceAlignmentRecord)
-from ..alignment.segments import (HMMSegment, forward_segments,
-                                  make_segment, segment_levels)
+from ..alignment.alignment_db import EventSequence
+from ..alignment.segments import ScoreBatcher
 from ..io.fasta import FastaIndex
 from ..io.readdb import ReadDB
 from ..models.hmm_input import HMMInputSequence
@@ -128,8 +128,10 @@ def _spans_empty_vec(arr: np.ndarray, lo: np.ndarray, hi: np.ndarray):
 def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
                        region_start, region_end):
     """Per-read task generation (basemods.cpp:273-380).  Returns
-    (segments, metas): two HMMSegments (unmeth, meth) per scored group."""
-    segments: List[HMMSegment] = []
+    (segments, metas): two (HMMInputSequence, EventSequence) scoring
+    units (unmeth, meth) per scored group, consumed by score_batch's
+    shared ScoreBatcher."""
+    segments: List[Tuple] = []
     metas = []
     alphabet = params.alphabet
     # vectorized full-match scan (same positions as the per-i
@@ -262,13 +264,11 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
                 meth = HMMInputSequence(m_subseq,
                                         alphabet.reverse_complement(m_subseq),
                                         alphabet)
-            levels = segment_levels(sr, strand_idx, e1, e2)
-            for hs in (unmeth, meth):
-                ranks = hs.kmer_ranks(k, rc)
-                segments.append(make_segment(sr, strand_idx, ranks, e1, e2,
-                                             model=meth_model,
-                                             flags=HMM_FLAGS,
-                                             levels=levels))
+            es = EventSequence(sr=sr, strand=strand_idx, rc=rc,
+                               stride=event_record.stride,
+                               event_start_idx=e1, event_stop_idx=e2)
+            segments.append((unmeth, es))
+            segments.append((meth, es))
             site_output_start = int(first[gi]) - k + 1
             site_output_end = int(last[gi]) + k
             metas.append({
@@ -282,17 +282,21 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
 
 
 def score_batch(tasks) -> None:
-    """Score all collected segments in one padded kernel sweep and fill
-    each read's site_score_map."""
-    all_segments: List[HMMSegment] = []
+    """Score all collected units in one ScoreBatcher flush (the indexed
+    wire on TPU backends) and fill each read's site_score_map."""
+    b = ScoreBatcher(flags=HMM_FLAGS)
     index = []
+    n_units = 0
     for t in tasks:
         for mi, m in enumerate(t["metas"]):
             index.append((t, mi))
-        all_segments.extend(t["segments"])
-    if not all_segments:
+        for hs, es in t["segments"]:
+            b.add([hs], es)
+            n_units += 1
+    if not n_units:
         return
-    scores = forward_segments(all_segments)
+    b.flush()
+    scores = b.scores
     si = 0
     for (t, mi) in index:
         m = t["metas"][mi]

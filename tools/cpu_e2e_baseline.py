@@ -59,18 +59,21 @@ def _load_tool(name):
 
 def _bind():
     lib = get_native_lib()._lib
+    P = ctypes.POINTER
     fb = lib.npt_cpu_profile_hmm_forward_batch
     fb.restype = None
-    P = ctypes.POINTER
     fb.argtypes = [P(ctypes.c_float), P(ctypes.c_int64), P(ctypes.c_float),
                    P(ctypes.c_float), P(ctypes.c_float), P(ctypes.c_int64),
                    P(ctypes.c_float), P(ctypes.c_int32), ctypes.c_int64,
                    P(ctypes.c_float)]
+    vb = lib.npt_cpu_profile_hmm_viterbi_batch
+    vb.restype = None
+    vb.argtypes = fb.argtypes + [P(ctypes.c_int64)]
     ba = lib.npt_cpu_banded_align
     ba.restype = ctypes.c_int64
     ba.argtypes = [P(ctypes.c_float), ctypes.c_int64, P(ctypes.c_float),
                    P(ctypes.c_float), P(ctypes.c_float), ctypes.c_int64]
-    return fb, ba
+    return fb, vb, ba
 
 
 def _capture_segments():
@@ -95,6 +98,27 @@ def _capture_segments():
         seg.forward_segments = orig
         cm.forward_segments = orig
         var.forward_segments = orig
+    return captured, restore
+
+
+def _capture_viterbi_segments():
+    """Same spy for the Viterbi drain (eventalign's scoring path)."""
+    import nanopolish_tpu.alignment.eventalign as ea
+    import nanopolish_tpu.alignment.segments as seg
+
+    captured = []
+    orig = seg.viterbi_segments
+
+    def spy(segments, *a, **k):
+        captured.extend(segments)
+        return orig(segments, *a, **k)
+
+    seg.viterbi_segments = spy
+    ea.viterbi_segments = spy
+
+    def restore():
+        seg.viterbi_segments = orig
+        ea.viterbi_segments = orig
     return captured, restore
 
 
@@ -231,13 +255,77 @@ def run_variants(fb, ba):
     return est
 
 
+def _time_viterbi(vb, segments):
+    lev = np.concatenate([np.asarray(s.levels, np.float32)
+                          for s in segments])
+    lev_off = np.concatenate(
+        [[0], np.cumsum([len(s.levels) for s in segments])]).astype(np.int64)
+    mu = np.concatenate([np.asarray(s.mu, np.float32) for s in segments])
+    sig = np.concatenate([np.asarray(s.sigma, np.float32)
+                          for s in segments])
+    lsig = np.log(sig)
+    k_off = np.concatenate(
+        [[0], np.cumsum([len(s.mu) for s in segments])]).astype(np.int64)
+    epb = np.array([s.events_per_base for s in segments], np.float32)
+    flags = np.array([s.flags for s in segments], np.int32)
+    out = np.zeros(len(segments), np.float32)
+    pairs = np.zeros(len(segments), np.int64)
+
+    P = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))  # noqa: E731
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        vb(P(lev, ctypes.c_float), P(lev_off, ctypes.c_int64),
+           P(mu, ctypes.c_float), P(sig, ctypes.c_float),
+           P(lsig, ctypes.c_float), P(k_off, ctypes.c_int64),
+           P(epb, ctypes.c_float), P(flags, ctypes.c_int32),
+           len(segments), P(out, ctypes.c_float),
+           P(pairs, ctypes.c_int64))
+        best = min(best, time.perf_counter() - t0)
+    cells = int(np.sum(np.diff(lev_off) * np.diff(k_off)))
+    assert (pairs > 0).all()
+    return best, cells
+
+
+def run_eventalign(vb, ba):
+    pe = _load_tool("perf_e2e_eventalign")
+    captured, restore = _capture_viterbi_segments()
+    with tempfile.TemporaryDirectory() as d:
+        fastq, bam, ref_fa = pe.build_corpus(d)
+        import io
+
+        from nanopolish_tpu.apps import eventalign as ea_app
+        out = io.StringIO()
+        ea_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-t", "4"],
+                    stdout=out)
+        n_rows = sum(1 for l in out.getvalue().splitlines()) - 1
+        t_vit, cells = _time_viterbi(vb, captured)
+        t_banded, t_detect, b_cells, n_reads = _time_ingest(ba, d, fastq)
+    restore()
+    total_1t = t_vit + t_banded + t_detect
+    est_rows = n_rows / (total_1t / THREADS)
+    print(json.dumps({
+        "app": "eventalign", "reads": pe.N_READS, "tsv_rows": n_rows,
+        "segments": len(captured), "hmm_cells": cells,
+        "t_viterbi_1t_s": round(t_vit, 2), "ns_per_cell":
+        round(t_vit / max(cells, 1) * 1e9, 1),
+        "t_banded_1t_s": round(t_banded, 2),
+        "t_detect_1t_s": round(t_detect, 2),
+        "est_cpu_16t_rows_per_s": round(est_rows, 1),
+        "est_cpu_16t_reads_per_s": round(
+            pe.N_READS / (total_1t / THREADS), 1)}), flush=True)
+    return est_rows
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    fb, ba = _bind()
+    fb, vb, ba = _bind()
     if which in ("methylation", "all"):
         run_methylation(fb, ba)
     if which in ("variants", "all"):
         run_variants(fb, ba)
+    if which in ("eventalign", "all"):
+        run_eventalign(vb, ba)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,10 @@ from nanopolish_tpu.utils.synthetic import random_sequence, synthetic_raw_signal
 
 N_READS = int(os.environ.get("NPT_E2E_READS", "24"))
 DRAFT_LEN = int(os.environ.get("NPT_E2E_WINDOW", "1200"))
+# reads tile the window when shorter than it (a reference-default 50 kb
+# makerange window is polished by ~2 kb reads at some depth, not by
+# window-length reads); 0 = window-length reads (the original corpus)
+READ_LEN = int(os.environ.get("NPT_E2E_READLEN", "0")) or DRAFT_LEN
 SUB = {"A": "G", "C": "T", "G": "A", "T": "C"}
 
 
@@ -54,15 +58,21 @@ def build_corpus(d):
         for i in range(0, len(draft), 60):
             fh.write(draft[i:i + 60] + "\n")
 
+    # read placement: evenly staggered READ_LEN reads (window-length
+    # reads when READ_LEN == DRAFT_LEN, i.e. pos always 0)
+    span = max(DRAFT_LEN - READ_LEN, 0)
+    plan = [(f"r{i}", (span * i // max(N_READS - 1, 1)) if span else 0)
+            for i in range(N_READS)]
+
     fastq = os.path.join(d, "reads.fastq")
     slow5 = os.path.join(d, "sig.slow5")
     with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
-        for i in range(N_READS):
-            name = f"r{i}"
-            fq.write(f"@{name}\n{truth}\n+\n{'I' * len(truth)}\n")
+        for name, pos in plan:
+            seg = truth[pos:pos + READ_LEN]
+            fq.write(f"@{name}\n{seg}\n+\n{'I' * len(seg)}\n")
             sc = SquiggleScalings.from4(float(rng.uniform(-2, 2)), 1.0,
                                         0.0, 1.0)
-            pa = synthetic_raw_signal(rng, truth, model, sc,
+            pa = synthetic_raw_signal(rng, seg, model, sc,
                                       samples_per_base=9.0, leader=450,
                                       trailer=90)
             adc = np.clip(pa * 8192.0 / 1400.0, -32000, 32000).astype(np.int16)
@@ -71,10 +81,11 @@ def build_corpus(d):
 
     bam = os.path.join(d, "aln.bam")
     w = BamWriter(bam, "@HD\tVN:1.6\tSO:coordinate\n", ["tig1"], [len(draft)])
-    for i in range(N_READS):
-        w.write(BamRecord(qname=f"r{i}", tid=0, pos=0, mapq=60,
-                          cigar=[(0, DRAFT_LEN)], seq=truth,
-                          qual=np.full(len(truth), 30, np.uint8)))
+    for name, pos in sorted(plan, key=lambda t: t[1]):
+        seg = truth[pos:pos + READ_LEN]
+        w.write(BamRecord(qname=name, tid=0, pos=pos, mapq=60,
+                          cigar=[(0, len(seg))], seq=seg,
+                          qual=np.full(len(seg), 30, np.uint8)))
     w.close()
     return fastq, bam, draft_fa, draft, truth, sub_positions
 
