@@ -538,8 +538,8 @@ class ScoreBatcher:
         host-computed tables."""
         import jax
 
-        use_indexed = os.environ.get("NPT_HMM_INDEXED", "1") != "0" and \
-            jax.default_backend() in ("tpu", "axon")
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        idx_env = os.environ.get("NPT_HMM_INDEXED", "auto")
 
         n = len(self._pend)
         ids = np.zeros((n, 4), np.int32)
@@ -586,6 +586,15 @@ class ScoreBatcher:
         n_ev_u = np.array([abs(e2 - e1) + 1 for _, _, e1, e2 in ev_rows],
                           np.int32)
         n_km_u = np.array([len(r) for r in rank_rows], np.int32)
+        # wire selection: the indexed format only wins when uniques are
+        # genuinely SHARED (variants screening: ~10 sequences per event
+        # range, ~7 reads per rank row -> ratio ~0.2).  Workloads where
+        # every segment is its own unique (call-methylation: ratio ~1.5)
+        # measured 2.2x SLOWER indexed — the device-gather cost isn't
+        # bought back by volume.  NPT_HMM_INDEXED=1/0 overrides.
+        share_ratio = (len(ev_rows) + len(rank_rows)) / max(n, 1)
+        use_indexed = on_tpu and (
+            idx_env == "1" or (idx_env == "auto" and share_ratio < 0.5))
         Tc = int(n_ev_u.max())
         Kc = int(n_km_u.max())
         levels_u = np.zeros((len(ev_rows), Tc), np.float32)

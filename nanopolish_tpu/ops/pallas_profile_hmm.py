@@ -526,10 +526,13 @@ def forward_indexed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
                             axis=1).astype(np.int32)
             # pad row counts to powers of two (compile-shape hygiene:
             # E/U/B/R/R2 are static shapes, so arbitrary counts would
-            # compile fresh programs)
-            E = _pad_to_pow2(lev_b.shape[0])
-            U = _pad_to_pow2(rank_b.shape[0])
+            # compile fresh programs).  E and U further pad UP to B —
+            # uniques never exceed segment count, the extra wire is
+            # ~Tc*4 bytes/row, and tying the three collapses the
+            # compile-shape space to (B, Tc, Kc, TP, KP) (remote
+            # compiles cost minutes each)
             B = _pad_to_pow2(sub2.shape[0])
+            E = U = B          # uniques <= segments <= B (cap 4096)
             Rp = _pad_to_pow2(tabs.shape[1])
             R2 = _pad_to_pow2(trans_u.shape[0])
             S = _pad_to_pow2(tabs.shape[2], lo=1024)
