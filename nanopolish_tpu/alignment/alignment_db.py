@@ -156,6 +156,51 @@ class AlignmentDB:
                                      event_stop_idx=e2))
         return out
 
+    def get_event_subsequences_batch(self, contig: str,
+                                     starts: np.ndarray,
+                                     stops: np.ndarray
+                                     ) -> List[List[EventSequence]]:
+        """get_event_subsequences for many windows at once: one
+        vectorized bounds search per event record instead of one scalar
+        find_by_ref_bounds per (record, window) — the consensus screen
+        probes every region position (apps/variants.py
+        generate_candidate_single_base_edits).  Output lists are
+        identical to per-window get_event_subsequences calls."""
+        starts = np.asarray(starts, np.int64)
+        stops = np.asarray(stops, np.int64)
+        W = len(starts)
+        out: List[List[EventSequence]] = [[] for _ in range(W)]
+        denom = np.maximum(np.abs(stops - starts), 1)
+        for rec in self.event_records:
+            pairs = rec.aligned_events
+            n = pairs.shape[0]
+            if n == 0:
+                continue
+            sr = rec.sr
+            if not sr.has_events_for_strand(rec.strand):
+                continue
+            refs = pairs[:, 0]
+            i1 = np.searchsorted(refs, starts, side="left")
+            i2 = np.searchsorted(refs, stops, side="left")
+            valid = (i1 < n) & (i2 < n)
+            i1c = np.minimum(i1, n - 1)
+            i2c = np.minimum(i2, n - 1)
+            left_b = (refs[i1c] <= starts) | \
+                ((i1 > 0) & (refs[np.maximum(i1 - 1, 0)] <= starts))
+            # mirrors find_by_ref_bounds exactly, including its
+            # reference-faithful `>= ref_start` on the right bound
+            right_b = (refs[i2c] >= stops) | \
+                ((i2 + 1 < n) & (refs[np.minimum(i2 + 1, n - 1)] >= starts))
+            e1 = pairs[i1c, 1]
+            e2 = pairs[i2c, 1]
+            ok = valid & left_b & right_b & \
+                (np.abs(e1 - e2) / denom < MAX_EVENT_TO_BP_RATIO)
+            for w in np.flatnonzero(ok):
+                out[w].append(EventSequence(
+                    sr=sr, strand=rec.strand, rc=rec.rc, stride=rec.stride,
+                    event_start_idx=int(e1[w]), event_stop_idx=int(e2[w])))
+        return out
+
     # ---------------- candidate discovery ----------------
     def get_variants_in_region(self, contig: str, start_position: int,
                                stop_position: int,

@@ -444,6 +444,18 @@ def forward_segments(segments: Sequence[HMMSegment],
     return out
 
 
+def seq_set_key(sequences) -> tuple:
+    """Memo-key fragment for a sequence set (cached per HMMInputSequence:
+    they are immutable in production — swap() has no callers)."""
+    frags = []
+    for hs in sequences:
+        f = getattr(hs, "_seq_key", None)
+        if f is None:
+            f = hs._seq_key = (hs.seq, hs.alphabet.name)
+        frags.append(f)
+    return tuple(frags)
+
+
 class ScoreBatcher:
     """Pools (sequence-set, event-range) scoring units; flush() runs one
     padded device sweep and resolves every unit to its
@@ -473,18 +485,21 @@ class ScoreBatcher:
         self._indel_bias = indel_bias
         self._memo = memo
 
-    def add(self, sequences: List[HMMInputSequence], data: EventSequence) -> int:
+    def add(self, sequences: List[HMMInputSequence], data: EventSequence,
+            frags: Optional[tuple] = None) -> int:
+        """Enqueue one scoring unit.  `frags` is an optional precomputed
+        seq_set_key(sequences) — high-volume callers (variants screening)
+        hoist it out of their per-read loops."""
         key = None
         if self._memo is not None:
-            frags = []
-            for hs in sequences:
-                f = getattr(hs, "_seq_key", None)
-                if f is None:
-                    f = hs._seq_key = (hs.seq, hs.alphabet.name)
-                frags.append(f)
-            key = (tuple(frags), data.sr.read_name, data.strand, data.rc,
-                   data.event_start_idx, data.event_stop_idx,
-                   self._indel_bias)
+            if frags is None:
+                frags = seq_set_key(sequences)
+            dk = getattr(data, "_memo_frag", None)
+            if dk is None:
+                dk = data._memo_frag = (
+                    data.sr.read_name, data.strand, data.rc,
+                    data.event_start_idx, data.event_stop_idx)
+            key = (frags, dk, self._indel_bias)
             hit = self._memo.get(key)
             if hit is not None:
                 self._units.append((None, hit, None))
@@ -549,35 +564,54 @@ class ScoreBatcher:
         trans_rows: List[float] = []   # epb per (sr, strand)
         ev_ids: dict = {}
         tab_ids: dict = {}
-        rank_ids: dict = {}
         trans_ids: dict = {}
+        # the dedup dicts are hit once per OBJECT; repeat sightings of the
+        # same EventSequence / HMMInputSequence (the common case: a
+        # position's ~18 screening units share one event list, a read set
+        # shares each sequence) resolve through an epoch-tagged attribute
+        # cache instead of rebuilding+hashing key tuples per unit — this
+        # loop ran at variants-screening volume (200k+ units/window)
+        epoch = object()
         for i, (hs, data) in enumerate(self._pend):
-            model = data.sr.get_model(data.strand, hs.alphabet.name) \
-                if hs.alphabet.name != "nucleotide" \
-                else data.sr.base_model[data.strand]
-            ekey = (id(data.sr), data.strand, data.event_start_idx,
-                    data.event_stop_idx)
-            ei = ev_ids.get(ekey)
-            if ei is None:
-                ei = ev_ids[ekey] = len(ev_rows)
-                ev_rows.append((data.sr, data.strand, data.event_start_idx,
-                                data.event_stop_idx))
-            tkey = (id(data.sr), data.strand, id(model))
-            ti = tab_ids.get(tkey)
-            if ti is None:
-                ti = tab_ids[tkey] = len(tab_rows)
-                tab_rows.append((data.sr, data.strand, model))
-            rkey = (id(hs), data.rc, model.k)
-            ri = rank_ids.get(rkey)
+            st = getattr(data, "_flush_st", None)
+            if st is None or st[0] is not epoch:
+                ekey = (id(data.sr), data.strand, data.event_start_idx,
+                        data.event_stop_idx)
+                ei = ev_ids.get(ekey)
+                if ei is None:
+                    ei = ev_ids[ekey] = len(ev_rows)
+                    ev_rows.append((data.sr, data.strand,
+                                    data.event_start_idx,
+                                    data.event_stop_idx))
+                xkey = (id(data.sr), data.strand)
+                xi = trans_ids.get(xkey)
+                if xi is None:
+                    xi = trans_ids[xkey] = len(trans_rows)
+                    trans_rows.append(
+                        float(data.sr.events_per_base[data.strand]))
+                st = data._flush_st = (epoch, ei, xi, {})
+            _, ei, xi, tmap = st
+            aname = hs.alphabet.name
+            tm = tmap.get(aname)
+            if tm is None:
+                model = data.sr.get_model(data.strand, aname) \
+                    if aname != "nucleotide" \
+                    else data.sr.base_model[data.strand]
+                tkey = (id(data.sr), data.strand, id(model))
+                ti = tab_ids.get(tkey)
+                if ti is None:
+                    ti = tab_ids[tkey] = len(tab_rows)
+                    tab_rows.append((data.sr, data.strand, model))
+                tm = tmap[aname] = (ti, model)
+            ti, model = tm
+            rst = getattr(hs, "_flush_rids", None)
+            if rst is None or rst[0] is not epoch:
+                rst = hs._flush_rids = (epoch, {})
+            rkey = (data.rc, model.k)
+            ri = rst[1].get(rkey)
             if ri is None:
-                ri = rank_ids[rkey] = len(rank_rows)
+                ri = rst[1][rkey] = len(rank_rows)
                 rank_rows.append(hs.kmer_ranks(model.k, data.rc))
-            xkey = (id(data.sr), data.strand)
-            xi = trans_ids.get(xkey)
-            if xi is None:
-                xi = trans_ids[xkey] = len(trans_rows)
-                trans_rows.append(
-                    float(data.sr.events_per_base[data.strand]))
             ids[i, 0] = ei
             ids[i, 1] = ti
             ids[i, 2] = ri

@@ -31,7 +31,7 @@ import numpy as np
 
 from ..alignment.alignment_db import AlignmentDB, EventSequence
 from ..alignment.segments import (HMMSegment, ScoreBatcher, forward_segments,
-                                  make_segment)
+                                  make_segment, seq_set_key)
 from ..io.vcf import DEFAULT_INFO_FIELDS, Variant, VcfReader, VcfWriter
 from ..models.haplotype import Haplotype
 from ..models.hmm_input import HMMInputSequence
@@ -74,16 +74,35 @@ class Opts:
 # batched scoring primitives
 # ---------------------------------------------------------------------------
 
+_SEQ_SET_CACHE: Dict[tuple, List[HMMInputSequence]] = {}
+_SEQ_SET_CACHE_CAP = 300_000
+
+
 def generate_methylated_alternatives(sequence: str,
                                      methylation_types: Sequence[str]
                                      ) -> List[HMMInputSequence]:
-    """nanopolish_variant.cpp:161-178."""
+    """nanopolish_variant.cpp:161-178.
+
+    Interned per (sequence, types): HMMInputSequence objects are
+    immutable in production (swap() has no callers) and callers only
+    read the returned list, so repeats — the 9 candidate edits at a
+    position share a base haplotype; the polishing loop re-screens the
+    same candidates every round — reuse one object, keeping its
+    kmer-rank cache and its identity in ScoreBatcher's per-flush rank
+    dedup (fewer unique rank rows on the device wire)."""
+    ckey = (sequence, tuple(methylation_types))
+    out = _SEQ_SET_CACHE.get(ckey)
+    if out is not None:
+        return out
     out = [HMMInputSequence(sequence)]
     for mt in methylation_types:
         alphabet = get_alphabet_by_name(mt)
         methylated = alphabet.methylate(sequence)
         if methylated != sequence:
             out.append(HMMInputSequence(methylated, alphabet=alphabet))
+    if len(_SEQ_SET_CACHE) >= _SEQ_SET_CACHE_CAP:
+        _SEQ_SET_CACHE.clear()          # bound memory on huge windows
+    _SEQ_SET_CACHE[ckey] = out
     return out
 
 
@@ -116,10 +135,14 @@ def score_variants_batched(variant_jobs, methylation_types,
             base_hap.get_sequence(), methylation_types)
         var_seqs = generate_methylated_alternatives(
             var_hap.get_sequence(), methylation_types)
-        prepared.append((base_seqs, var_seqs, events))
+        # memo-key fragments hoisted out of the per-read chunk loop
+        prepared.append((base_seqs, var_seqs, events,
+                         seq_set_key(base_seqs), seq_set_key(var_seqs)))
 
-    totals = [0.0 if p is not None else float("-inf") for p in prepared]
+    n_jobs = len(prepared)
+    totals = np.full(n_jobs, float("-inf"))
     alive = [ji for ji, p in enumerate(prepared) if p is not None]
+    totals[alive] = 0.0
     max_events = max((len(p[2]) for p in prepared if p is not None),
                      default=0)
     # geometric chunk schedule: most screening candidates are losers
@@ -132,23 +155,26 @@ def score_variants_batched(variant_jobs, methylation_types,
         else max(max_events, 1)
     while lo < max_events:
         b = ScoreBatcher(indel_bias, memo=memo)
-        units = []
+        units: List[Tuple[int, int, int]] = []
+        add = b.add
         for ji in alive:
-            base_seqs, var_seqs, events = prepared[ji]
+            base_seqs, var_seqs, events, base_key, var_key = prepared[ji]
             for ev in events[lo:lo + step]:
-                units.append((ji, b.add(base_seqs, ev), b.add(var_seqs, ev)))
+                units.append((ji, add(base_seqs, ev, base_key),
+                              add(var_seqs, ev, var_key)))
         if not units:
             break
         b.flush()
-        for ji, bu, vu in units:
-            totals[ji] += b.get(vu) - b.get(bu)
+        ua = np.asarray(units, np.int64)
+        s = b.scores
+        np.add.at(totals, ua[:, 0], s[ua[:, 2]] - s[ua[:, 1]])
         if screen_threshold is not None:
             alive = [ji for ji in alive if totals[ji] > -screen_threshold]
             if not alive:
                 break
         lo += step
         step *= 2
-    return totals
+    return totals.tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -161,12 +187,17 @@ def generate_candidate_single_base_edits(alignments: AlignmentDB,
     """call_variants.cpp:288-361."""
     contig = alignments.get_region_contig()
     jobs = []
-    for i in range(region_start, region_end):
+    positions = [i for i in range(region_start, region_end)
+                 if alignments.are_coordinates_valid(
+                     contig, i - opts.screen_flanking_sequence,
+                     i + 1 + opts.screen_flanking_sequence)]
+    pos_arr = np.asarray(positions, np.int64)
+    events_per_pos = alignments.get_event_subsequences_batch(
+        contig, pos_arr - opts.screen_flanking_sequence,
+        pos_arr + 1 + opts.screen_flanking_sequence)
+    for i, events in zip(positions, events_per_pos):
         calling_start = i - opts.screen_flanking_sequence
         calling_end = i + 1 + opts.screen_flanking_sequence
-        if not alignments.are_coordinates_valid(contig, calling_start,
-                                                calling_end):
-            continue
         ref_base = alignments.get_reference_substring(contig, i, i)
         tmp = []
         for j in "ACGT":
@@ -184,8 +215,6 @@ def generate_candidate_single_base_edits(alignments: AlignmentDB,
         if dele.alt_seq[0] != dele.ref_seq[1]:
             tmp.append(dele)
 
-        events = alignments.get_event_subsequences(contig, calling_start,
-                                                   calling_end)
         hap = Haplotype(contig, calling_start,
                         alignments.get_reference_substring(
                             contig, calling_start, calling_end))

@@ -148,3 +148,24 @@ def test_variants_calculate_all_support(consensus_pipeline):
     # the truth base should dominate
     alt = snp[0].split("\t")[4]
     assert fracs["ACGT".index(alt)] > 0.5
+
+
+def test_event_subsequences_batch_matches_scalar(consensus_pipeline):
+    """get_event_subsequences_batch must reproduce per-window
+    get_event_subsequences exactly (records, order, event bounds)."""
+    from nanopolish_tpu.alignment.alignment_db import AlignmentDB
+
+    p = consensus_pipeline
+    db = AlignmentDB(p["fastq"], p["draft_fa"], p["bam"])
+    db.load_region("tig1", 0, DRAFT_LEN - 1)
+    starts = np.arange(db.get_region_start(), db.get_region_end() - 21)
+    stops = starts + 21
+    batched = db.get_event_subsequences_batch("tig1", starts, stops)
+    assert len(batched) == len(starts)
+    for s, e, got in zip(starts, stops, batched):
+        want = db.get_event_subsequences("tig1", int(s), int(e))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.sr is w.sr and g.strand == w.strand and g.rc == w.rc
+            assert g.event_start_idx == w.event_start_idx
+            assert g.event_stop_idx == w.event_stop_idx
