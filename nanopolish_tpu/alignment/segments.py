@@ -143,8 +143,9 @@ def _pow2_chunks(segments, chunk_cap, vmem_budget: int = 0,
     ride as FEW calls as VMEM allows (chunk_cap then acts as a floor so
     remainder batches keep power-of-two compiled shapes)."""
     buckets = {}
-    for i, s in enumerate(segments):
-        tp = 128
+    tp_floor = 128 if viterbi else 64    # forward kernel rides 64-row
+    for i, s in enumerate(segments):     # grids for short-event buckets
+        tp = tp_floor
         while tp < len(s.levels):
             tp *= 2
         kp = 128
@@ -169,10 +170,12 @@ def _pow2_chunks(segments, chunk_cap, vmem_budget: int = 0,
             yield tp, kp, idxs[lo:lo + cap]
 
 
-def _pack_chunk(segments, chunk, tp, kp, indel_bias):
+def _pack_chunk(segments, chunk, tp, kp, indel_bias, r_min=128):
     """Pad one chunk into the profile-HMM packed wire format.  kp is the
     bucket's kmer-lane width from _pow2_chunks — passed through so the
-    kernel shape is derived exactly once."""
+    kernel shape is derived exactly once.  Forward callers pass r_min=64
+    (64-row grids for short-event buckets); the Viterbi drain keeps the
+    128-row grid its trace blocks require."""
     from ..ops.pallas_profile_hmm import _pack_hmm_inputs
 
     B = len(chunk)
@@ -196,7 +199,7 @@ def _pack_chunk(segments, chunk, tp, kp, indel_bias):
         flags[bi] = s.flags
     return _pack_hmm_inputs(levels, n_events, mu, sigma,
                             np.log(np.maximum(sigma, 1e-30)), n_kmers,
-                            epb, flags, indel_bias, kp=kp)
+                            epb, flags, indel_bias, kp=kp, r_min=r_min)
 
 
 def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
@@ -301,7 +304,7 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
     for tp, kp, chunk in _pow2_chunks(segments, 512, vmem_budget=45 << 20):
         with profile_scope("segments.forward_pallas_dispatch"):
             packed, TP, B0, _, _ = _pack_chunk(segments, chunk, tp, kp,
-                                               indel_bias)
+                                               indel_bias, r_min=64)
             dev = _profile_hmm_forward_call_packed(packed, TP)
         pending.append((chunk, dev, B0))
     if not pending:
@@ -344,7 +347,7 @@ def forward_arrays(levels_mat: np.ndarray, n_events: np.ndarray,
         impl == "auto" and jax.default_backend() in ("tpu", "axon"))
 
     # bucket rows by power-of-two padded event length / kmer width
-    tp_all = np.maximum(128, np.exp2(np.ceil(np.log2(
+    tp_all = np.maximum(64, np.exp2(np.ceil(np.log2(
         np.maximum(n_events, 1)))).astype(np.int64))
     kp_all = np.maximum(128, np.exp2(np.ceil(np.log2(
         np.maximum(n_kmers, 1)))).astype(np.int64))
@@ -389,7 +392,7 @@ def forward_arrays(levels_mat: np.ndarray, n_events: np.ndarray,
             packed, TP, B0, _, _ = _pack_hmm_inputs(
                 levels_mat[ii, :T], n_events[ii], mu_mat[ii, :K], sig,
                 np.log(np.maximum(sig, 1e-30)), n_kmers[ii], epb[ii],
-                flags[ii], indel_bias, kp=kp)
+                flags[ii], indel_bias, kp=kp, r_min=64)
             dev = _profile_hmm_forward_call_packed(packed, TP)
             pending.append((ii, dev, B0))
     flat = np.asarray(jnp.concatenate(
@@ -656,7 +659,9 @@ class ScoreBatcher:
                 n_km_u[ids[:, 2]], epb, np.full(n, self._flags, np.int32),
                 indel_bias=self._indel_bias)
 
-        from ..ops.pallas_profile_hmm import _np_transitions, forward_indexed
+        from ..ops.pallas_profile_hmm import (_np_transitions,
+                                              forward_indexed,
+                                              forward_packed)
 
         S = max(len(model.level_mean) for _, _, model in tab_rows)
         tabs = np.zeros((3, len(tab_rows), S), np.float32)
@@ -668,6 +673,17 @@ class ScoreBatcher:
             tabs[2, t, :len(sig_t)] = np.log(np.maximum(sig_t, 1e-30))
         trans_u = _np_transitions(np.array(trans_rows, np.float32),
                                   self._indel_bias)
+        # packed drain by default: segments of one (event range,
+        # transitions) group — the base + 9 candidate edits at a
+        # position per read — share a lane row, so ~16-kmer screening
+        # windows fill the VPU instead of leaving 87% of a 128-lane row
+        # idle.  NPT_HMM_INDEXED=1 keeps the one-segment-per-row indexed
+        # wire for A/B comparison.
+        if idx_env != "1" and \
+                os.environ.get("NPT_HMM_PACKED", "1") != "0":
+            return forward_packed(levels_u, n_ev_u, tabs, rank_mat,
+                                  n_km_u, trans_u, ids,
+                                  np.full(n, self._flags, np.int32))
         return forward_indexed(levels_u, n_ev_u, tabs, rank_mat, n_km_u,
                                trans_u, ids,
                                np.full(n, self._flags, np.int32))
