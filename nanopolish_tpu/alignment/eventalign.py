@@ -11,6 +11,7 @@ exhausted.  Batch occupancy stays high while any reads remain.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -44,6 +45,54 @@ class EventAlignment:
 
 
 @dataclass
+class EventAlignmentColumns:
+    """Struct-of-arrays alignment output for one (read, strand) job — the
+    row-object-free representation the TSV emitter renders from.  Derived
+    fields: ref_kmer = ref_seq[ref_position-ref_offset:+k]; model_kmer is
+    ref_kmer (fwd), its alphabet reverse-complement (rc), or N*k for "B"
+    rows — exactly what HMMInputSequence.get_kmer returns for the window
+    slices the wavefront scores (the windows are slices of ref_seq)."""
+
+    ref_name: str
+    read_idx: int
+    strand_idx: int
+    rc: bool                      # the job's constant input_rc
+    ref_offset: int
+    ref_seq: str
+    model: object
+    ref_position: np.ndarray      # [n] int64
+    event_idx: np.ndarray         # [n] int64
+    state: np.ndarray             # [n] uint8 of 'M'/'B'/'E'... ascii codes
+
+    def __len__(self):
+        return len(self.ref_position)
+
+    def to_rows(self) -> List[EventAlignment]:
+        """Materialize EventAlignment objects (compat path for low-volume
+        consumers: SAM emit, summaries, calibration)."""
+        k = self.model.k
+        alphabet = self.model.alphabet
+        out = []
+        seq = self.ref_seq
+        off = self.ref_offset
+        nk = "N" * k
+        for rp, ev, st in zip(self.ref_position.tolist(),
+                              self.event_idx.tolist(), self.state.tolist()):
+            ref_kmer = seq[rp - off:rp - off + k]
+            if st == 66:            # 'B'
+                model_kmer = nk
+            else:
+                model_kmer = alphabet.reverse_complement(ref_kmer) \
+                    if self.rc else ref_kmer
+            out.append(EventAlignment(
+                ref_name=self.ref_name, ref_position=rp, ref_kmer=ref_kmer,
+                read_idx=self.read_idx, strand_idx=self.strand_idx,
+                event_idx=ev, rc=self.rc, model_kmer=model_kmer,
+                hmm_state=chr(st)))
+        return out
+
+
+@dataclass
 class _Job:
     """Wavefront state for one (read, strand) alignment."""
 
@@ -57,7 +106,9 @@ class _Job:
     ref_seq: str
     rc_ref_seq: str
     pair_segments: List[np.ndarray]
-    output: List[EventAlignment] = field(default_factory=list)
+    out_ref: List[np.ndarray] = field(default_factory=list)
+    out_ev: List[np.ndarray] = field(default_factory=list)
+    out_st: List[np.ndarray] = field(default_factory=list)
 
     seg_i: int = 0
     started: bool = False
@@ -178,48 +229,30 @@ def _prepare(job: _Job) -> Optional[HMMSegment]:
 
 def _consume(job: _Job, result: Tuple[np.ndarray, np.ndarray, str]):
     """Apply one Viterbi result: emit alignments + advance the chain
-    (eventalign.cpp:762-823)."""
-    read = job.read
-    k = job.model.k
+    (eventalign.cpp:762-823).  Vectorized over the result rows; output
+    lands in the job's column buffers (the kept-row set is identical to
+    the scalar loop: skip K rows and the re-emitted chain-start event,
+    cut at OUTPUT_STRIDE kept rows unless this is the segment's last
+    section — model/ref kmer strings are derived at emit time since the
+    scored windows are slices of ref_seq)."""
     evs, kms, states = result
     stride = 1 if job.curr_start_event <= job._event_stop else -1
-
-    num_output = 0
-    last_event_output = 0
-    last_ref_kmer_output = 0
-    for row in range(len(states)):
-        if num_output >= OUTPUT_STRIDE and not job._last_section:
-            break
-        state = states[row]
-        event_idx = job.curr_start_event + int(evs[row]) * stride
-        if state == "K" or event_idx == job.curr_start_event:
-            continue
-        kmer_idx = int(kms[row])
-        ref_position = job.curr_start_ref + kmer_idx
-        ea = EventAlignment(
-            ref_name=job.ref_name,
-            ref_position=ref_position,
-            ref_kmer=job.ref_seq[ref_position - job.ref_offset:
-                                 ref_position - job.ref_offset + k],
-            read_idx=job.read_idx,
-            strand_idx=job.strand,
-            event_idx=event_idx,
-            rc=job._input_rc,
-            model_kmer=(job._hmm_seq.get_kmer(kmer_idx, k, job._input_rc)
-                        if state != "B" else "N" * k),
-            hmm_state=state,
-        )
-        job.output.append(ea)
-        last_event_output = event_idx
-        last_ref_kmer_output = ref_position
-        num_output += 1
-
-    if num_output == 0:
+    st = np.frombuffer(states.encode("ascii"), np.uint8) \
+        if isinstance(states, str) else np.asarray(states, np.uint8)
+    ev_abs = job.curr_start_event + np.asarray(evs, np.int64) * stride
+    kept = np.flatnonzero((st != 75) & (ev_abs != job.curr_start_event))
+    if not job._last_section:
+        kept = kept[:OUTPUT_STRIDE]
+    if kept.size == 0:
         job.pairs = None
         job.seg_i += 1
         return
-    job.curr_start_event = last_event_output
-    job.curr_start_ref = last_ref_kmer_output
+    ref_pos = job.curr_start_ref + np.asarray(kms, np.int64)[kept]
+    job.out_ref.append(ref_pos)
+    job.out_ev.append(ev_abs[kept])
+    job.out_st.append(st[kept])
+    job.curr_start_event = int(ev_abs[kept[-1]])
+    job.curr_start_ref = int(ref_pos[-1])
     job.curr_pair_idx = get_end_pair(job.pairs, job.curr_start_ref,
                                      job.curr_pair_idx)
 
@@ -228,10 +261,12 @@ def align_reads_to_ref(
     jobs_in: Sequence[Tuple[SquiggleRead, BamRecord, int, int]],
     fai, references: List[str],
     region_start: int = -1, region_end: int = -1,
-    alphabet: str = "",
-) -> List[List[EventAlignment]]:
+    alphabet: str = "", columnar: bool = False,
+) -> List:
     """Align many (read, record, strand, read_idx) jobs via the segment
-    wavefront.  Returns one EventAlignment list per input job.
+    wavefront.  Returns one EventAlignment list per input job — or, with
+    `columnar=True`, one EventAlignmentColumns per job (no per-row
+    objects; the high-volume TSV path renders directly from the arrays).
 
     `alphabet` selects an alternative pore model family (e.g. "cpg") as
     EventAlignmentParameters.alphabet does (nanopolish_eventalign.h:33)."""
@@ -241,7 +276,54 @@ def align_reads_to_ref(
                         region_start, region_end, alphabet)
         jobs.append(job)
 
-    active = [j for j in jobs if j is not None and not j.done]
+    live = [j for j in jobs if j is not None and not j.done]
+    # The per-read segment chain is sequential, so every wavefront round
+    # pays one device sync — a full relay round trip on remotely-attached
+    # chips.  Running W independent wavefronts over disjoint job subsets
+    # in threads overlaps those syncs (a fetch releases the GIL while the
+    # other waves prepare/consume), cutting the sync-bound wall clock by
+    # ~W; per-round batches shrink by W but the kernels are far from the
+    # VPU's batch knee at app volumes.
+    waves = int(os.environ.get("NPT_EA_WAVES", "0"))
+    if waves <= 0:
+        import jax
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        waves = 4 if (on_tpu and len(live) >= 16) else 1
+    if waves > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        parts = [live[w::waves] for w in range(waves)]
+        with ThreadPoolExecutor(max_workers=waves) as pool:
+            list(pool.map(_run_wavefront, [p for p in parts if p]))
+    else:
+        _run_wavefront(live)
+
+    out = []
+    for j in jobs:
+        if j is None:
+            cols = None
+        else:
+            n = sum(len(a) for a in j.out_ref)
+            cols = EventAlignmentColumns(
+                ref_name=j.ref_name, read_idx=j.read_idx,
+                strand_idx=j.strand, rc=j._input_rc,
+                ref_offset=j.ref_offset, ref_seq=j.ref_seq, model=j.model,
+                ref_position=(np.concatenate(j.out_ref) if n
+                              else np.zeros(0, np.int64)),
+                event_idx=(np.concatenate(j.out_ev) if n
+                           else np.zeros(0, np.int64)),
+                state=(np.concatenate(j.out_st) if n
+                       else np.zeros(0, np.uint8)))
+        if columnar:
+            out.append(cols)
+        else:
+            out.append(cols.to_rows() if cols is not None else [])
+    return out
+
+
+def _run_wavefront(active: List[_Job]) -> None:
+    """Advance one set of jobs to completion, one batched Viterbi round
+    at a time."""
     while active:
         segs: List[HMMSegment] = []
         seg_jobs: List[_Job] = []
@@ -256,8 +338,6 @@ def align_reads_to_ref(
         for j, r in zip(seg_jobs, results):
             _consume(j, r)
         active = [j for j in seg_jobs if not j.done]
-
-    return [(j.output if j is not None else []) for j in jobs]
 
 
 def _make_job(read: SquiggleRead, record: BamRecord, strand: int,

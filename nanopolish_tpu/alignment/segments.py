@@ -334,6 +334,19 @@ def forward_arrays(levels_mat: np.ndarray, n_events: np.ndarray,
     bit-identical to forward_segments on equivalent HMMSegments: the
     kernel is row-independent per segment and buckets by the same
     power-of-two (TP, KP) shapes."""
+    return forward_arrays_async(levels_mat, n_events, mu_mat, sigma_mat,
+                                n_kmers, epb, flags, indel_bias)()
+
+
+def forward_arrays_async(levels_mat: np.ndarray, n_events: np.ndarray,
+                         mu_mat: np.ndarray, sigma_mat: np.ndarray,
+                         n_kmers: np.ndarray, epb: np.ndarray,
+                         flags: np.ndarray, indel_bias: float = 1.0):
+    """forward_arrays split into dispatch/materialize: all kernel chunks
+    are dispatched before returning; the returned zero-arg closure pays
+    the device->host fetch.  Callers pipeline the fetch (a full relay
+    round trip on remotely-attached chips) against the next batch's host
+    prep by resolving the closure on a worker thread."""
     import os
 
     import jax
@@ -341,7 +354,7 @@ def forward_arrays(levels_mat: np.ndarray, n_events: np.ndarray,
     n = len(n_events)
     out = np.zeros(n, np.float32)
     if n == 0:
-        return out
+        return lambda: out
     impl = os.environ.get("NPT_HMM_IMPL", "auto")
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() in ("tpu", "axon"))
@@ -371,7 +384,7 @@ def forward_arrays(levels_mat: np.ndarray, n_events: np.ndarray,
                     n_kmers[jj], epb[jj], flags=int(fl),
                     indel_bias=indel_bias)
                 out[jj] = np.asarray(lp)
-        return out
+        return lambda: out
 
     import jax.numpy as jnp
 
@@ -395,13 +408,18 @@ def forward_arrays(levels_mat: np.ndarray, n_events: np.ndarray,
                 flags[ii], indel_bias, kp=kp, r_min=64)
             dev = _profile_hmm_forward_call_packed(packed, TP)
             pending.append((ii, dev, B0))
-    flat = np.asarray(jnp.concatenate(
-        [dev[:B0, 0] for _, dev, B0 in pending]))
-    off = 0
-    for ii, _dev, B0 in pending:
-        out[ii] = flat[off:off + B0]
-        off += B0
-    return out
+    # concatenate on device now (a dispatch), defer the fetch
+    cat = jnp.concatenate([dev[:B0, 0] for _, dev, B0 in pending])
+
+    def materialize() -> np.ndarray:
+        flat = np.asarray(cat)
+        off = 0
+        for ii, _dev, B0 in pending:
+            out[ii] = flat[off:off + B0]
+            off += B0
+        return out
+
+    return materialize
 
 
 def forward_segments(segments: Sequence[HMMSegment],

@@ -281,6 +281,281 @@ def collect_read_tasks(sr, record, ref_seq, ref_start_pos, params,
     return segments, metas
 
 
+class _ScoreArrays:
+    """Per-chunk registries backing the array-mode scoring path: whole-read
+    rank rows, drift-level rows and calibrated model tables are registered
+    once per read (or read-strand) and every segment refers to them by
+    (id, start, step) — score_batch_arrays then builds the kernel inputs
+    with a handful of batched gathers instead of per-segment Python."""
+
+    def __init__(self):
+        self.rank_rows: List[np.ndarray] = []
+        self.lev_rows: List[np.ndarray] = []
+        self.mu_tabs: List[np.ndarray] = []
+        self.sig_tabs: List[np.ndarray] = []
+
+    def add_rank(self, arr: np.ndarray) -> int:
+        self.rank_rows.append(arr)
+        return len(self.rank_rows) - 1
+
+    def add_levels(self, arr: np.ndarray) -> int:
+        self.lev_rows.append(arr)
+        return len(self.lev_rows) - 1
+
+    def add_table(self, mu: np.ndarray, sig: np.ndarray) -> int:
+        self.mu_tabs.append(mu)
+        self.sig_tabs.append(sig)
+        return len(self.mu_tabs) - 1
+
+
+def collect_read_tasks_arrays(sr, record, ref_seq, ref_start_pos, params,
+                              region_start, region_end, reg: _ScoreArrays):
+    """Array-mode collect_read_tasks: identical group selection and rank
+    semantics (each unmeth/meth rank row is the same slice-of-whole-read
+    array the object path pre-seeds into HMMInputSequence._rank_cache,
+    expressed as (row id, start, step) into `reg`), but the output is one
+    struct-of-arrays block per scored strand — no per-group Python
+    objects.  Returns a list of blocks."""
+    from ..alignment.segments import _model_tables, read_drift_levels
+
+    alphabet = params.alphabet
+    motif_arr = alphabet.motif_positions(ref_seq)
+    if len(motif_arr) == 0:
+        return []
+    rl = alphabet.recognition_length
+    n_ref = len(ref_seq)
+    rc_ref = alphabet.reverse_complement(ref_seq)
+    meth_ref = alphabet.methylate(ref_seq)
+    rc_meth_ref = alphabet.reverse_complement(meth_ref)
+    ref_rank_ids: Dict[Tuple[int, bool], int] = {}
+    meth_rank_ids: Dict[Tuple[int, bool], int] = {}
+    mod_pos = np.flatnonzero(
+        np.frombuffer(meth_ref.encode("ascii"), np.uint8)
+        != np.frombuffer(ref_seq.encode("ascii"), np.uint8))
+    site_halo = max(len(s) for s in alphabet.recognition_sites) - 1
+
+    gs, ge = _motif_group_spans(motif_arr, params.min_separation)
+    first = motif_arr[gs]
+    last = motif_arr[ge - 1]
+    sub_start = first - params.min_flank
+    sub_end = last + params.min_flank
+    ok0 = ((sub_start > params.min_separation) & (last - first <= 200)
+           & (sub_end < n_ref))
+    start_position_v = first + ref_start_pos
+    end_position_v = last + ref_start_pos
+    if region_start != -1:
+        ok0 &= start_position_v >= region_start
+    if region_end != -1:
+        ok0 &= end_position_v < region_end
+    fast_v = (_spans_empty_vec(motif_arr, sub_start - rl + 1, sub_start - 1)
+              & _spans_empty_vec(motif_arr, sub_end - rl + 2, sub_end)
+              & _spans_empty_vec(mod_pos,
+                                 np.maximum(0, sub_start - site_halo),
+                                 sub_start - 1)
+              & _spans_empty_vec(mod_pos, sub_end + 1,
+                                 sub_end + site_halo))
+
+    blocks = []
+    for strand_idx in (0, 1):
+        if not sr.has_events_for_strand(strand_idx):
+            continue
+        k = sr.get_model_k(strand_idx)
+        pms = PoreModelSet.instance()
+        if not pms.has_model(sr.get_model_kit_name(strand_idx),
+                             params.methylation_type,
+                             sr.get_model_strand_name(strand_idx), k):
+            continue
+        meth_model = sr.get_model(strand_idx, params.methylation_type)
+
+        seq_record = SequenceAlignmentRecord.from_bam(record)
+        event_record = EventAlignmentRecord.build(sr, strand_idx, seq_record)
+        if event_record.aligned_events.shape[0] == 0:
+            continue
+        rc = event_record.rc
+
+        e1_v, e2_v, okb = _find_by_ref_bounds_vec(
+            event_record.aligned_events, sub_start + ref_start_pos,
+            sub_end + ref_start_pos)
+        d = np.abs(e2_v - e1_v)
+        ratio = d.astype(np.float64) / np.maximum(sub_end - sub_start, 1)
+        ok = ok0 & okb & (d > 10) & ~(ratio > MAX_EVENT_TO_BP_RATIO)
+        idx = np.flatnonzero(ok)
+        if len(idx) == 0:
+            continue
+
+        # whole-read rank rows for this k, one direction (= event rc)
+        rkey = (k, rc)
+        ri_u = ref_rank_ids.get(rkey)
+        if ri_u is None:
+            ri_u = ref_rank_ids[rkey] = reg.add_rank(
+                alphabet.seq_to_kmer_ranks(rc_ref if rc else ref_seq, k))
+        ss = sub_start[idx]
+        se = sub_end[idx]
+        nk = se - ss - k + 2
+        s0 = n_ref - 1 - se
+        if rc:
+            # kmer_ranks(k, True) == ranks(rc_seq)[::-1]; the window's rc
+            # row is rc_ranks[s0 : s0+nk][::-1] -> start s0+nk-1, step -1
+            ru_start = s0 + nk - 1
+            rstep = -1
+        else:
+            ru_start = ss
+            rstep = 1
+        rm_src = np.empty(len(idx), np.int64)
+        rm_start = np.empty(len(idx), np.int64)
+        fast = fast_v[idx]
+        if fast.any():
+            mi = meth_rank_ids.get(rkey)
+            if mi is None:
+                mi = meth_rank_ids[rkey] = reg.add_rank(
+                    alphabet.seq_to_kmer_ranks(
+                        rc_meth_ref if rc else meth_ref, k))
+            rm_src[fast] = mi
+            rm_start[fast] = (s0 + nk - 1)[fast] if rc else ss[fast]
+        for j in np.flatnonzero(~fast):
+            m_subseq = alphabet.methylate(ref_seq[ss[j]:se[j] + 1])
+            row = alphabet.seq_to_kmer_ranks(
+                alphabet.reverse_complement(m_subseq) if rc else m_subseq, k)
+            rm_src[j] = reg.add_rank(row)
+            rm_start[j] = len(row) - 1 if rc else 0
+
+        mu_t, sig_t = _model_tables(sr, strand_idx, meth_model)
+        blocks.append({
+            "lev": reg.add_levels(read_drift_levels(sr, strand_idx)),
+            "tab": reg.add_table(mu_t, sig_t),
+            "epb": float(sr.events_per_base[strand_idx]),
+            "strand_idx": strand_idx,
+            "e1": e1_v[idx],
+            "estep": np.where(e2_v[idx] >= e1_v[idx], 1, -1),
+            "nev": d[idx] + 1,
+            "ru_src": np.full(len(idx), ri_u, np.int64),
+            "ru_start": ru_start,
+            "rstep": np.full(len(idx), rstep, np.int64),
+            "rm_src": rm_src,
+            "rm_start": rm_start,
+            "nk": nk,
+            "start_pos": start_position_v[idx],
+            "end_pos": end_position_v[idx],
+            "n_motif": ge[idx] - gs[idx],
+            "seq_lo": first[idx] - k + 1,
+            "seq_hi": last[idx] + k,
+        })
+    return blocks
+
+
+def score_batch_arrays(tasks, reg: _ScoreArrays):
+    """Score every task block with batched gathers + one async kernel
+    sweep; returns a zero-arg resolve() that fetches the scores and fills
+    the site_score_maps (run it on a worker thread to overlap the relay
+    round trip with the next chunk's ingest/geometry).  Scores are
+    bit-identical to score_batch: same f32 level slices, same calibrated
+    table gathers, same padding values, same row-bucketed kernel."""
+    from ..alignment.segments import forward_arrays_async
+
+    blocks = [b for t in tasks for b in t["blocks"]]
+    if not blocks:
+        return lambda: None
+
+    def cat(key):
+        return np.concatenate([np.asarray(b[key], np.int64) for b in blocks])
+
+    e1 = cat("e1")
+    estep = cat("estep")
+    nev = cat("nev")
+    ru_src = cat("ru_src")
+    ru_start = cat("ru_start")
+    rstep = cat("rstep")
+    rm_src = cat("rm_src")
+    rm_start = cat("rm_start")
+    nk = cat("nk")
+    sizes = np.array([len(b["e1"]) for b in blocks], np.int64)
+    lev_id = np.repeat([b["lev"] for b in blocks], sizes)
+    tab_id = np.repeat([b["tab"] for b in blocks], sizes)
+    epb = np.repeat(np.array([b["epb"] for b in blocks], np.float32), sizes)
+    G = len(e1)
+
+    lev_off = np.concatenate(
+        [[0], np.cumsum([len(a) for a in reg.lev_rows])])[:-1]
+    lev_buf = np.concatenate(reg.lev_rows + [np.zeros(1, np.float32)])
+    lev_sentinel = len(lev_buf) - 1
+    rank_off = np.concatenate(
+        [[0], np.cumsum([len(a) for a in reg.rank_rows])])[:-1]
+    rank_buf = np.concatenate(
+        [np.asarray(a, np.int64) for a in reg.rank_rows]
+        + [np.zeros(1, np.int64)])
+    rank_sentinel = len(rank_buf) - 1
+
+    Tc = int(nev.max())
+    Kc = int(nk.max())
+    art = np.arange(Tc, dtype=np.int64)[None, :]
+    t_idx = lev_off[lev_id][:, None] + e1[:, None] + art * estep[:, None]
+    t_idx = np.where(art < nev[:, None], t_idx, lev_sentinel)
+    lev_g = lev_buf[t_idx]                       # [G, Tc] f32, 0-padded
+    ark = np.arange(Kc, dtype=np.int64)[None, :]
+    k_valid = ark < nk[:, None]
+    ku = np.where(k_valid, rank_off[ru_src][:, None] + ru_start[:, None]
+                  + ark * rstep[:, None], rank_sentinel)
+    km = np.where(k_valid, rank_off[rm_src][:, None] + rm_start[:, None]
+                  + ark * rstep[:, None], rank_sentinel)
+    ranks_u = rank_buf[ku]
+    ranks_m = rank_buf[km]
+
+    S = max(len(t) for t in reg.mu_tabs)
+    mu_stack = np.zeros((len(reg.mu_tabs), S), np.float32)
+    sig_stack = np.ones((len(reg.mu_tabs), S), np.float32)
+    for t, (mt, st) in enumerate(zip(reg.mu_tabs, reg.sig_tabs)):
+        mu_stack[t, :len(mt)] = mt
+        sig_stack[t, :len(st)] = st
+    tcol = tab_id[:, None]
+    z32 = np.float32(0.0)
+    one32 = np.float32(1.0)
+    mu_mat = np.concatenate([np.where(k_valid, mu_stack[tcol, ranks_u], z32),
+                             np.where(k_valid, mu_stack[tcol, ranks_m], z32)])
+    sig_mat = np.concatenate(
+        [np.where(k_valid, sig_stack[tcol, ranks_u], one32),
+         np.where(k_valid, sig_stack[tcol, ranks_m], one32)])
+    levels_mat = np.concatenate([lev_g, lev_g])
+    nev2 = np.tile(nev, 2).astype(np.int32)
+    nk2 = np.tile(nk, 2).astype(np.int32)
+    epb2 = np.tile(epb, 2)
+    flags = np.full(2 * G, HMM_FLAGS, np.int32)
+
+    fetch = forward_arrays_async(levels_mat, nev2, mu_mat, sig_mat, nk2,
+                                 epb2, flags)
+
+    def resolve():
+        scores = fetch()
+        su = scores[:G]
+        sm = scores[G:]
+        off = 0
+        for t in tasks:
+            smap: Dict[int, ScoredSite] = t["site_score_map"]
+            ref_seq = t["ref_seq"]
+            for b in t["blocks"]:
+                g = len(b["e1"])
+                sidx = b["strand_idx"]
+                sp = b["start_pos"]
+                ep = b["end_pos"]
+                nm = b["n_motif"]
+                lo = b["seq_lo"]
+                hi = b["seq_hi"]
+                for j in range(g):
+                    pos = int(sp[j])
+                    ss = smap.get(pos)
+                    if ss is None:
+                        ss = ScoredSite(
+                            chromosome=t["contig"], start_position=pos,
+                            end_position=int(ep[j]), n_motif=int(nm[j]),
+                            sequence=ref_seq[lo[j]:hi[j]])
+                        smap[pos] = ss
+                    ss.ll_unmethylated[sidx] = float(su[off + j])
+                    ss.ll_methylated[sidx] = float(sm[off + j])
+                    ss.strands_scored += 1
+                off += g
+
+    return resolve
+
+
 def score_batch(tasks) -> None:
     """Score all collected units in one ScoreBatcher flush (the indexed
     wire on TPU backends) and fill each read's site_score_map."""
@@ -634,34 +909,35 @@ def _call_single(opt, out):
         bam_writer = BamWriter(opt.modbam_output_name, proc.header_text,
                                proc.references, proc.reader.lengths)
 
-    write_site_header(out)
-    for batch in proc.batches():
-        names = sorted({rec.qname for _, rec in batch})
-        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS,
-                                    num_threads=opt.threads)
-        def build_task(item):
-            read_idx, rec = item
-            sr = reads.get(rec.qname)
-            if sr is None:
-                return None
-            contig = proc.references[rec.tid]
-            ref_seq = fai.fetch(contig, rec.pos,
-                                rec.reference_end() + 1).upper()
-            ref_seq = DNA_ALPHABET.disambiguate(ref_seq)
-            segments, metas = collect_read_tasks(
-                sr, rec, ref_seq, rec.pos, params, region_start, region_end)
-            return {"record": rec, "contig": contig,
-                    "segments": segments, "metas": metas,
-                    "site_score_map": {}}
+    use_array = os.environ.get("NPT_METH_ARRAY", "1") != "0"
+    pipe_chunk = max(1, int(os.environ.get("NPT_METH_CHUNK", "64")))
 
-        # NOTE: ThreadPool'ing build_task across reads was measured
-        # SLOWER (128-read corpus on 4 cores: 1,002 vs 2,266 sites/s) —
-        # the task geometry is GIL-bound string work, so -t only drives
-        # signal loading (load_squiggle_reads above)
-        built = [build_task(item) for item in batch]
-        tasks = [t for t in built if t is not None]
-        score_batch(tasks)
-        # ordered output per batch (BamProcessor batch_func semantics)
+    def load_chunk(records):
+        names = sorted({rec.qname for _, rec in records})
+        return load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS,
+                                   num_threads=opt.threads)
+
+    def build_task(item, reads, reg):
+        read_idx, rec = item
+        sr = reads.get(rec.qname)
+        if sr is None:
+            return None
+        contig = proc.references[rec.tid]
+        ref_seq = fai.fetch(contig, rec.pos,
+                            rec.reference_end() + 1).upper()
+        ref_seq = DNA_ALPHABET.disambiguate(ref_seq)
+        t = {"record": rec, "contig": contig, "ref_seq": ref_seq,
+             "site_score_map": {}}
+        if reg is not None:
+            t["blocks"] = collect_read_tasks_arrays(
+                sr, rec, ref_seq, rec.pos, params, region_start, region_end,
+                reg)
+        else:
+            t["segments"], t["metas"] = collect_read_tasks(
+                sr, rec, ref_seq, rec.pos, params, region_start, region_end)
+        return t
+
+    def write_tasks(tasks):
         for t in tasks:
             write_read_sites(out, t["record"], t["site_score_map"])
             if bam_writer is not None:
@@ -674,6 +950,43 @@ def _call_single(opt, out):
                         fai, t["contig"], t["record"], t["site_score_map"],
                         params.alphabet)
                 bam_writer.write(rec)
+
+    # NOTE: ThreadPool'ing build_task across reads was measured SLOWER
+    # (128-read corpus on 4 cores: 1,002 vs 2,266 sites/s) — the task
+    # geometry is GIL-bound string work, so -t only drives signal
+    # loading.  The pipeline below instead overlaps the two relay syncs
+    # per chunk (ingest fetch, score fetch) with the NEXT chunk's host
+    # work: ingest rides a one-ahead loader thread and score fetches
+    # resolve on a worker thread.
+    from concurrent.futures import ThreadPoolExecutor
+
+    write_site_header(out)
+    with ThreadPoolExecutor(2) as ing_pool, \
+            ThreadPoolExecutor(1) as fetch_pool:
+        for batch in proc.batches():
+            subs = [batch[i:i + pipe_chunk]
+                    for i in range(0, len(batch), pipe_chunk)]
+            # all chunk loads go up front on TWO workers: neighbouring
+            # chunks' ingest relay round trips overlap each other as well
+            # as this thread's geometry/dispatch work
+            ing_futs = [ing_pool.submit(load_chunk, s) for s in subs]
+            done = []
+            for ci, records in enumerate(subs):
+                reads = ing_futs[ci].result()
+                reg = _ScoreArrays() if use_array else None
+                built = [build_task(item, reads, reg) for item in records]
+                tasks = [t for t in built if t is not None]
+                if use_array:
+                    resolve = score_batch_arrays(tasks, reg)
+                    done.append((tasks, fetch_pool.submit(resolve)))
+                else:
+                    score_batch(tasks)
+                    done.append((tasks, None))
+            # ordered output per batch (BamProcessor batch_func semantics)
+            for tasks, fut in done:
+                if fut is not None:
+                    fut.result()
+                write_tasks(tasks)
     if bam_writer is not None:
         bam_writer.close()
     proc.close()

@@ -132,6 +132,104 @@ def emit_event_alignment_tsv(fp: TextIO, sr: SquiggleRead, strand_idx: int,
         fp.write("\n")
 
 
+def emit_event_alignment_tsv_cols(fp: TextIO, sr: SquiggleRead,
+                                  strand_idx: int, cols,
+                                  print_read_names: bool, scale_events: bool,
+                                  write_signal_index: bool,
+                                  write_samples: bool):
+    """Columnar twin of emit_event_alignment_tsv: renders straight from
+    EventAlignmentColumns arrays (no per-row objects).  Kmer ranks come
+    from one whole-window seq_to_kmer_ranks pass (for rc rows,
+    rank(revcomp(seq[i:i+k])) == ranks(revcomp(seq))[n-k-i]); numeric
+    columns use the identical f32 expressions; byte-equality with the
+    row path is pinned by tests/test_eventalign_e2e.py and the frozen
+    goldens."""
+    n = len(cols)
+    if n == 0:
+        return
+    model = sr.base_model[strand_idx]
+    k = model.k
+    alphabet = model.alphabet
+    scalings = sr.scalings[strand_idx]
+    sqrt_var = math.sqrt(scalings.var)
+
+    seq = cols.ref_seq
+    off = cols.ref_offset
+    nseq = len(seq)
+    rc = cols.rc
+    pos0 = cols.ref_position - off
+    is_b = cols.state == 66                      # 'B'
+    ev_idx = cols.event_idx
+    if rc:
+        rcq = alphabet.reverse_complement(seq)
+        wranks = alphabet.seq_to_kmer_ranks(rcq, k)
+        ranks = wranks[np.minimum(nseq - k - pos0, len(wranks) - 1)]
+    else:
+        rcq = ""
+        wranks = alphabet.seq_to_kmer_ranks(seq, k)
+        ranks = wranks[np.minimum(pos0, len(wranks) - 1)]
+    ranks = np.where(is_b, 0, ranks)
+
+    event_stdv_col = sr.get_stdv(ev_idx, strand_idx)
+    event_dur_col = sr.get_duration(ev_idx, strand_idx)
+    if scale_events:
+        event_mean_col = sr.get_fully_scaled_level(ev_idx, strand_idx)
+        mm32 = model.level_mean[ranks].astype(np.float32)
+        ms32 = model.level_stdv[ranks].astype(np.float32)
+    else:
+        event_mean_col = sr.get_unscaled_level(ev_idx, strand_idx)
+        mm, ms = sr.get_scaled_gaussian(model, strand_idx, ranks)
+        mm32 = np.asarray(mm, np.float32)
+        ms32 = np.asarray(ms, np.float32)
+    model_mean_col = np.where(is_b, np.float32(0), mm32)
+    model_stdv_col = np.where(is_b, np.float32(0), ms32)
+    den32 = (np.float64(sqrt_var) *
+             model_stdv_col.astype(np.float64)).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        std_col = np.where(
+            model_stdv_col > 0,
+            (event_mean_col - model_mean_col) / den32,
+            np.where(event_mean_col > model_mean_col, np.float32(np.inf),
+                     np.where(event_mean_col < model_mean_col,
+                              np.float32(-np.inf), np.float32(np.nan))))
+
+    who = sr.read_name if print_read_names else str(cols.read_idx)
+    strand_ch = "tc"[cols.strand_idx]
+    ref_name = cols.ref_name
+    nk_str = "N" * k
+    rp_l = cols.ref_position.tolist()
+    p_l = pos0.tolist()
+    ev_l = ev_idx.tolist()
+    b_l = is_b.tolist()
+    em_l = event_mean_col.tolist()
+    es_l = event_stdv_col.tolist()
+    ed_l = event_dur_col.tolist()
+    mm_l = model_mean_col.tolist()
+    ms_l = model_stdv_col.tolist()
+    sd_l = std_col.tolist()
+    extra = write_signal_index or write_samples
+    lines = []
+    ap = lines.append
+    for i in range(n):
+        p = p_l[i]
+        ref_kmer = seq[p:p + k]
+        model_kmer = nk_str if b_l[i] else (
+            rcq[nseq - p - k:nseq - p] if rc else ref_kmer)
+        row = (f"{ref_name}\t{rp_l[i]}\t{ref_kmer}\t{who}\t{strand_ch}\t"
+               f"{ev_l[i]}\t{em_l[i]:.2f}\t{es_l[i]:.3f}\t{ed_l[i]:.5f}\t"
+               f"{model_kmer}\t{mm_l[i]:.2f}\t{ms_l[i]:.2f}\t{sd_l[i]:.2f}")
+        if extra:
+            if write_signal_index:
+                s, e = sr.get_event_sample_idx(cols.strand_idx, ev_l[i])
+                row += f"\t{s}\t{e}"
+            if write_samples:
+                samples = sr.get_scaled_samples_for_event(
+                    cols.strand_idx, ev_l[i])
+                row += "\t" + ",".join(f"{v:g}" for v in samples)
+        ap(row)
+    fp.write("\n".join(lines) + "\n")
+
+
 class EventalignSummary:
     """eventalign.cpp:128-153 + summarize_alignment (:486-536)."""
 
@@ -327,16 +425,21 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
                 jobs.append((sr, rec, strand, read_idx))
                 meta.append((sr, rec, strand, read_idx))
         results = align_reads_to_ref(jobs, fai, proc.references,
-                                     region_start, region_end)
-        for (sr, rec, strand, read_idx), alignment in zip(meta, results):
+                                     region_start, region_end,
+                                     columnar=True)
+        for (sr, rec, strand, read_idx), cols in zip(meta, results):
+            alignment = None          # row materialization, on demand only
             if opt.sam:
+                alignment = cols.to_rows() if cols is not None else []
                 emit_event_alignment_sam(out, sr, rec, proc.references,
                                          alignment)
-            else:
-                emit_event_alignment_tsv(
-                    out, sr, strand, alignment, opt.print_read_names,
+            elif cols is not None:
+                emit_event_alignment_tsv_cols(
+                    out, sr, strand, cols, opt.print_read_names,
                     opt.scale_events, opt.signal_index, opt.samples)
-            if summary_fp is not None and alignment:
+            if summary_fp is not None and cols is not None and len(cols):
+                if alignment is None:
+                    alignment = cols.to_rows()
                 s = summarize_alignment(sr, strand, alignment, rec)
                 sc = sr.scalings[strand]
                 model = sr.base_model[strand]

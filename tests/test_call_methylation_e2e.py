@@ -230,3 +230,95 @@ def test_call_methylation_watch_mode(meth_pipeline, tmp_path):
     with open(out_tsv) as fh:
         watch_lines = fh.read().splitlines()
     assert sorted(watch_lines) == sorted(direct.getvalue().splitlines())
+
+
+def _build_corpus(d, genome, plan, rng):
+    """Write ref/fastq/slow5/bam for (name, pos, is_rev, is_meth) plan."""
+    pms = PoreModelSet.instance()
+    nuc_model = pms.get_model("r9.4_450bps", "nucleotide", "template", 6)
+    cpg_model = pms.get_model("r9.4_450bps", "cpg", "template", 6)
+    ref_fa = str(d / "ref.fa")
+    with open(ref_fa, "w") as fh:
+        fh.write(">tig1\n")
+        for i in range(0, len(genome), 60):
+            fh.write(genome[i:i + 60] + "\n")
+    fastq = str(d / "reads.fastq")
+    slow5 = str(d / "sig.slow5")
+    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+        for name, pos, is_rev, is_meth, rlen in plan:
+            seg = genome[pos:pos + rlen]
+            basecall = DNA_ALPHABET.reverse_complement(seg) if is_rev else seg
+            fq.write(f"@{name}\n{basecall}\n+\n{'I' * rlen}\n")
+            sc = SquiggleScalings.from4(0.0, 1.0, 0.0, 1.0)
+            model = cpg_model if is_meth else nuc_model
+            sig_seq = (METHYL_CPG_ALPHABET.methylate(basecall)
+                       if is_meth else basecall)
+            pa = synthetic_raw_signal(rng, sig_seq, model, sc,
+                                      samples_per_base=10.0, leader=500,
+                                      trailer=100)
+            adc = np.clip(pa * 8192.0 / 1400.0, -32000, 32000).astype(np.int16)
+            sw.write(name, adc, 8192.0, 0.0, 1400.0, 4000.0)
+    index_app.main([fastq, "--slow5", slow5])
+    bam = str(d / "aln.bam")
+    w = BamWriter(bam, "@HD\tVN:1.6\tSO:coordinate\n", ["tig1"], [len(genome)])
+    for name, pos, is_rev, _, rlen in sorted(plan, key=lambda t: t[1]):
+        seg = genome[pos:pos + rlen]
+        w.write(BamRecord(qname=name, flag=16 if is_rev else 0, tid=0,
+                          pos=pos, mapq=60, cigar=[(0, rlen)], seq=seg,
+                          qual=np.full(rlen, 30, np.uint8)))
+    w.close()
+    return fastq, bam, ref_fa
+
+
+def _run_both_paths(fastq, bam, ref_fa, monkeypatch):
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("NPT_METH_ARRAY", mode)
+        monkeypatch.setenv("NPT_METH_CHUNK", "3")  # exercise the pipeline
+        out = io.StringIO()
+        cm_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-q", "cpg"],
+                    stdout=out)
+        outs[mode] = out.getvalue()
+    return outs
+
+
+def test_array_path_parity_random(meth_pipeline, monkeypatch):
+    """The array-mode scoring path (struct-of-array collect + batched
+    gathers + async drain) must produce byte-identical TSV to the
+    HMMInputSequence/ScoreBatcher path."""
+    p = meth_pipeline
+    outs = _run_both_paths(p["fastq"], p["bam"], p["ref_fa"], monkeypatch)
+    assert outs["1"] == outs["0"]
+    assert len(outs["1"].splitlines()) > 8
+
+
+def test_array_path_parity_straddle(tmp_path, monkeypatch):
+    """Dense CpGs spaced min_separation+1 apart put a neighbouring motif
+    exactly one base outside every window boundary, forcing the non-fast
+    (explicit per-window methylate) branch; parity must hold there too."""
+    rng = np.random.default_rng(23)
+    unit = "ATTGATAGACG"           # CG at offset 9 of each 11-base unit
+    genome = ("ATCAAT" * 10) + unit * 60 + ("TTAGCA" * 10)
+    plan = [("s0", 0, False, True, 400), ("s1", 150, True, False, 400),
+            ("s2", 300, False, True, 400)]
+    fastq, bam, ref_fa = _build_corpus(tmp_path, genome, plan, rng)
+
+    # the geometry really does contain non-fast groups
+    from nanopolish_tpu.apps.call_methylation import (CallingParameters,
+                                                      _ScoreArrays,
+                                                      _motif_group_spans,
+                                                      _spans_empty_vec)
+    params = CallingParameters(methylation_type="cpg")
+    alphabet = params.alphabet
+    motif_arr = alphabet.motif_positions(genome[:400])
+    rl = alphabet.recognition_length
+    gs, ge = _motif_group_spans(motif_arr, params.min_separation)
+    sub_start = motif_arr[gs] - params.min_flank
+    sub_end = motif_arr[ge - 1] + params.min_flank
+    fast_v = (_spans_empty_vec(motif_arr, sub_start - rl + 1, sub_start - 1)
+              & _spans_empty_vec(motif_arr, sub_end - rl + 2, sub_end))
+    assert (~fast_v).any(), "corpus failed to force the straddle branch"
+
+    outs = _run_both_paths(fastq, bam, ref_fa, monkeypatch)
+    assert outs["1"] == outs["0"]
+    assert len(outs["1"].splitlines()) > 10
