@@ -962,7 +962,7 @@ def _call_single(opt, out):
 
     write_site_header(out)
     with ThreadPoolExecutor(2) as ing_pool, \
-            ThreadPoolExecutor(1) as fetch_pool:
+            ThreadPoolExecutor(2) as fetch_pool:
         for batch in proc.batches():
             subs = [batch[i:i + pipe_chunk]
                     for i in range(0, len(batch), pipe_chunk)]

@@ -192,10 +192,35 @@ def build_reads(
 
     # ---- device stage, bucketed ----
     work.sort(key=lambda w: (len(w[2]), len(w[4])))
+    chunks = []
     for lo in range(0, len(work), max_batch):
-        chunk = work[lo : lo + max_batch]
-        _process_chunk(chunk, results, stats)
+        chunks.extend(_split_for_hbm(work[lo : lo + max_batch]))
+    if _ingest_fused_enabled():
+        # dispatch EVERY chunk's fused program before materializing any:
+        # chunk i's packed fetch (a relay round trip on remote rigs) then
+        # overlaps chunk i+1's device work
+        pend = [(c, _dispatch_fused_chunk(c)) for c in chunks]
+        for c, resolve in pend:
+            _finish_fused_chunk(c, resolve(), results, stats)
+    else:
+        for c in chunks:
+            _process_chunk(c, results, stats)
     return results
+
+
+def _split_for_hbm(chunk):
+    """The banded trace array is B x (T+K) x 256 bytes in HBM; split very
+    long-read chunks rather than risk device OOM (reads are length-sorted,
+    so splits stay homogeneous)."""
+    B = len(chunk)
+    if B == 0:
+        return []
+    T = _bucket_dims(max(len(w[2]) for w in chunk))
+    K = _bucket_dims(max(len(w[4]) for w in chunk))
+    if B > 8 and B * (T + K) * 256 > (4 << 30):
+        return _split_for_hbm(chunk[: B // 2]) + \
+            _split_for_hbm(chunk[B // 2:])
+    return [chunk]
 
 
 def _process_chunk(chunk, results, stats: ReadStats):
@@ -223,18 +248,9 @@ def _ingest_fused_enabled() -> bool:
     return impl == "exact" or (impl == "auto" and on_tpu)
 
 
-def _process_chunk_impl(chunk, results, stats: ReadStats):
+def _pack_chunk_host(chunk, T, K):
+    """Pad one length-sorted chunk into the batched ingest arrays."""
     B = len(chunk)
-    T = _bucket_dims(max(len(w[2]) for w in chunk))
-    K = _bucket_dims(max(len(w[4]) for w in chunk))
-    # The banded trace array is B x (T+K) x 256 bytes in HBM; split very
-    # long-read chunks rather than risk device OOM (reads are
-    # length-sorted, so splits stay homogeneous).
-    if B > 8 and B * (T + K) * 256 > (4 << 30):
-        _process_chunk(chunk[: B // 2], results, stats)
-        _process_chunk(chunk[B // 2:], results, stats)
-        return
-
     ev_mean = np.zeros((B, T), np.float32)
     ev_time = np.zeros((B, T), np.float32)
     n_events = np.zeros(B, np.int32)
@@ -242,8 +258,8 @@ def _process_chunk_impl(chunk, results, stats: ReadStats):
     lvl_stdv = np.ones((B, K), np.float32)
     ranks_pad = np.zeros((B, K), np.int32)
     n_kmers = np.zeros(B, np.int32)
-
-    for bi, (i, inp, evt, rna, ranks, model, seq, samples, tstart) in enumerate(chunk):
+    for bi, (i, inp, evt, rna, ranks, model, seq, samples, tstart) in \
+            enumerate(chunk):
         ne, nk = len(evt), len(ranks)
         ev_mean[bi, :ne] = evt.mean
         ev_time[bi, :ne] = evt.start_time
@@ -252,53 +268,94 @@ def _process_chunk_impl(chunk, results, stats: ReadStats):
         lvl_stdv[bi, :nk] = model.level_stdv[ranks]
         ranks_pad[bi, :nk] = ranks
         n_kmers[bi] = nk
+    return ev_mean, ev_time, n_events, lvl_mean, lvl_stdv, ranks_pad, n_kmers
+
+
+def _dispatch_fused_chunk(chunk):
+    """Pack + dispatch one chunk's fused ingest program; returns the
+    materialize closure (ops/ingest_fused)."""
+    from ..ops.ingest_fused import ingest_align_recalibrate_async
+
+    T = _bucket_dims(max(len(w[2]) for w in chunk))
+    K = _bucket_dims(max(len(w[4]) for w in chunk))
+    (ev_mean, ev_time, n_events, lvl_mean, lvl_stdv, ranks_pad,
+     n_kmers) = _pack_chunk_host(chunk, T, K)
+    return ingest_align_recalibrate_async(ev_mean, ev_time, n_events,
+                                          lvl_mean, lvl_stdv, ranks_pad,
+                                          n_kmers)
+
+
+def _finish_fused_chunk(chunk, r, results, stats: ReadStats):
+    _assemble_reads(chunk, r.b2e_start, r.b2e_stop, r.failed,
+                    r.events_per_base, r.shift, r.scale, r.drift, r.var,
+                    r.recal_ok, results, stats)
+
+
+def _process_chunk_impl(chunk, results, stats: ReadStats):
+    """Legacy 3-sync device chain (MoM fetch, banded fetch, recalibration
+    fetch) — the non-fused path (scan/CPU backends)."""
+    B = len(chunk)
+    T = _bucket_dims(max(len(w[2]) for w in chunk))
+    K = _bucket_dims(max(len(w[4]) for w in chunk))
+    if B > 8 and B * (T + K) * 256 > (4 << 30):
+        _process_chunk(chunk[: B // 2], results, stats)
+        _process_chunk(chunk[B // 2:], results, stats)
+        return
+
+    (ev_mean, ev_time, n_events, lvl_mean, lvl_stdv, ranks_pad,
+     n_kmers) = _pack_chunk_host(chunk, T, K)
 
     if _ingest_fused_enabled():
         from ..ops.ingest_fused import ingest_align_recalibrate
         r = ingest_align_recalibrate(ev_mean, ev_time, n_events, lvl_mean,
                                      lvl_stdv, ranks_pad, n_kmers)
-        b2e_start, b2e_stop = r.b2e_start, r.b2e_stop
-        failed_align, events_per_base = r.failed, r.events_per_base
-        r_shift, r_scale, r_drift, r_var = r.shift, r.scale, r.drift, r.var
-        r_ok = r.recal_ok
-    else:
-        # MoM scaling (device) — fetch both [B] vectors as ONE transfer;
-        # each materialization pays a full relay round trip on remote rigs
-        shift, scale = estimate_scalings_mom(ev_mean, n_events, lvl_mean,
-                                             n_kmers)
-        ss = np.asarray(jnp.stack([shift, scale]))
-        shift, scale = ss[0], ss[1]
+        _finish_fused_chunk(chunk, r, results, stats)
+        return
 
-        # scaled gaussians for the banded aligner (var=1, drift=0 here)
-        mu = scale[:, None] * lvl_mean + shift[:, None]
-        sigma = lvl_stdv
-        log_sigma = np.log(sigma)
+    # MoM scaling (device) — fetch both [B] vectors as ONE transfer;
+    # each materialization pays a full relay round trip on remote rigs
+    shift, scale = estimate_scalings_mom(ev_mean, n_events, lvl_mean,
+                                         n_kmers)
+    ss = np.asarray(jnp.stack([shift, scale]))
+    shift, scale = ss[0], ss[1]
 
-        res = _banded_align(ev_mean, n_events, mu, sigma, log_sigma, n_kmers)
-        b2e_start = np.asarray(res.b2e_start)
-        b2e_stop = np.asarray(res.b2e_stop)
-        failed_align = np.asarray(res.failed)
-        events_per_base = np.asarray(res.events_per_base)
+    # scaled gaussians for the banded aligner (var=1, drift=0 here)
+    mu = scale[:, None] * lvl_mean + shift[:, None]
+    sigma = lvl_stdv
+    log_sigma = np.log(sigma)
 
-        # --- recalibration inputs: 'M' events ---
-        m_mask = mstate_events_batch(b2e_start, b2e_stop, ranks_pad, n_kmers)
-        ev_idx = np.clip(b2e_start, 0, T - 1)
-        levels = np.take_along_axis(ev_mean, ev_idx, axis=1)
-        times = np.take_along_axis(ev_time, ev_idx, axis=1)
-        # time relative to first event (squiggle_read.h get_time)
-        times = times - ev_time[:, :1]
-        recal = recalibrate(levels, times, lvl_mean, lvl_stdv, m_mask,
-                            scale_var=True, scale_drift=False)
-        # one packed transfer for the five [B] result vectors (the bool
-        # round-trips exactly through float32 0.0/1.0)
-        rr = np.asarray(jnp.stack([
-            recal.shift, recal.scale, recal.drift, recal.var,
-            recal.recalibrated.astype(jnp.float32)]))
-        r_shift, r_scale, r_drift, r_var = rr[0], rr[1], rr[2], rr[3]
-        r_ok = rr[4] != 0.0
+    res = _banded_align(ev_mean, n_events, mu, sigma, log_sigma, n_kmers)
+    b2e_start = np.asarray(res.b2e_start)
+    b2e_stop = np.asarray(res.b2e_stop)
+    failed_align = np.asarray(res.failed)
+    events_per_base = np.asarray(res.events_per_base)
 
+    # --- recalibration inputs: 'M' events ---
+    m_mask = mstate_events_batch(b2e_start, b2e_stop, ranks_pad, n_kmers)
+    ev_idx = np.clip(b2e_start, 0, T - 1)
+    levels = np.take_along_axis(ev_mean, ev_idx, axis=1)
+    times = np.take_along_axis(ev_time, ev_idx, axis=1)
+    # time relative to first event (squiggle_read.h get_time)
+    times = times - ev_time[:, :1]
+    recal = recalibrate(levels, times, lvl_mean, lvl_stdv, m_mask,
+                        scale_var=True, scale_drift=False)
+    # one packed transfer for the five [B] result vectors (the bool
+    # round-trips exactly through float32 0.0/1.0)
+    rr = np.asarray(jnp.stack([
+        recal.shift, recal.scale, recal.drift, recal.var,
+        recal.recalibrated.astype(jnp.float32)]))
+    _assemble_reads(chunk, b2e_start, b2e_stop, failed_align,
+                    events_per_base, rr[0], rr[1], rr[2], rr[3],
+                    rr[4] != 0.0, results, stats)
+
+
+def _assemble_reads(chunk, b2e_start, b2e_stop, failed_align,
+                    events_per_base, r_shift, r_scale, r_drift, r_var,
+                    r_ok, results, stats: ReadStats):
+    """Build the chunk's SquiggleReads from the fetched ingest results
+    (shared by the fused and legacy paths)."""
     for bi, (i, inp, evt, rna, ranks, model, seq, samples, tstart) in enumerate(chunk):
-        nk = int(n_kmers[bi])
+        nk = len(ranks)
         read = SquiggleRead(
             read_name=inp.read_name,
             read_sequence=seq,

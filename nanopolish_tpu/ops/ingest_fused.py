@@ -148,12 +148,23 @@ class IngestResult:
 
 def ingest_align_recalibrate(ev_mean, ev_time, n_events, lvl_mean, lvl_stdv,
                              ranks, n_kmers, interpret=None) -> IngestResult:
-    """Batched fused ingest.  Args are host numpy arrays:
-    ev_mean/ev_time [B, T] f32, n_events [B] i32, lvl_mean/lvl_stdv
-    [B, K] f32 (model tables of the read's kmers), ranks [B, K] i32,
-    n_kmers [B] i32.  Sub-batches are VMEM-sized like
-    pallas_banded_exact.banded_align_exact: every sub-batch dispatches
-    before any materializes, then each pays ONE packed fetch."""
+    """Batched fused ingest (see ingest_align_recalibrate_async)."""
+    return ingest_align_recalibrate_async(ev_mean, ev_time, n_events,
+                                          lvl_mean, lvl_stdv, ranks, n_kmers,
+                                          interpret=interpret)()
+
+
+def ingest_align_recalibrate_async(ev_mean, ev_time, n_events, lvl_mean,
+                                   lvl_stdv, ranks, n_kmers, interpret=None):
+    """Batched fused ingest, split into dispatch/materialize: all
+    sub-batches are dispatched before this returns; the returned zero-arg
+    closure pays the packed fetches.  Callers with several length-sorted
+    chunks (models/read_builder.build_reads) dispatch every chunk first
+    so the relay round trips of chunk i's fetch overlap chunk i+1's
+    device work.  Args are host numpy arrays: ev_mean/ev_time [B, T] f32,
+    n_events [B] i32, lvl_mean/lvl_stdv [B, K] f32 (model tables of the
+    read's kmers), ranks [B, K] i32, n_kmers [B] i32.  Sub-batches are
+    VMEM-sized like pallas_banded_exact.banded_align_exact."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     ev_mean = np.asarray(ev_mean, np.float32)
@@ -198,11 +209,15 @@ def ingest_align_recalibrate(ev_mean, ev_time, n_events, lvl_mean, lvl_stdv,
             Tp, K0, interpret=interpret,
             fill_nsplit=fill_nsplit, bt_nsplit=bt_nsplit)
         pending.append((dev, hi - lo))
-    parts = [IngestResult(np.asarray(dev)[:n], K0) for dev, n in pending]
-    if len(parts) == 1:
-        return parts[0]
-    out = parts[0]
-    for name in IngestResult.__slots__:
-        setattr(out, name, np.concatenate(
-            [getattr(p, name) for p in parts], axis=0))
-    return out
+
+    def resolve() -> IngestResult:
+        parts = [IngestResult(np.asarray(dev)[:n], K0) for dev, n in pending]
+        if len(parts) == 1:
+            return parts[0]
+        out = parts[0]
+        for name in IngestResult.__slots__:
+            setattr(out, name, np.concatenate(
+                [getattr(p, name) for p in parts], axis=0))
+        return out
+
+    return resolve

@@ -853,42 +853,57 @@ def _profile_hmm_viterbi_call(ev, a_tab, b2_tab, c0_tab, nev, nk, trans,
 
 def _expand_backtrack(ke, meta, n_events, n_kmers):
     """Per-segment (event_offsets, kmer_idxs, state_string) in forward
-    order from the kernel's per-row (k_entry, meta) emissions."""
+    order from the kernel's per-row (k_entry, meta) emissions.
+
+    The expansion of each row is independent (the kernel already did the
+    serial walk), so it runs vectorized per segment: the scalar loop's
+    descending scan + final reverse is equivalent to ascending valid
+    rows, where a K row contributes its landing entry (B/M) followed by
+    its skipped kmers ascending, and the scan stops below the highest
+    valid row whose soft bit is set (the scalar `break` fires only for
+    rows that pass the k_entry >= 0 guard)."""
     out = []
     T, B = ke.shape
+    ke = np.asarray(ke)
+    meta = np.asarray(meta)
+    st_all = meta & 3
+    dist_all = (meta >> 2) & 0xFF
+    head_all = (meta >> 10) & 1
+    soft_all = (meta >> 11) & 1
     for b in range(B):
-        evs: List[int] = []
-        kms: List[int] = []
-        chars: List[str] = []
-        for t in range(int(n_events[b]), 0, -1):
-            k_entry = int(ke[t - 1, b])
-            if k_entry < 0:
-                continue
-            m = int(meta[t - 1, b])
-            st_entry = m & 3
-            dist = (m >> 2) & 0xFF
-            head_b = (m >> 10) & 1
-            soft = (m >> 11) & 1
-            ev_off = t - 1
-            if st_entry == ST_K:
-                for kk in range(k_entry, k_entry - dist - 1, -1):
-                    evs.append(ev_off)
-                    kms.append(kk)
-                    chars.append("K")
-                evs.append(ev_off)
-                kms.append(k_entry - dist - 1)
-                chars.append("B" if head_b else "M")
-            else:
-                evs.append(ev_off)
-                kms.append(k_entry)
-                chars.append("M" if st_entry == ST_M else "B")
-            if soft:
-                break
-        evs.reverse()
-        kms.reverse()
-        chars.reverse()
-        out.append((np.asarray(evs, np.int32), np.asarray(kms, np.int32),
-                    "".join(chars)))
+        ne = int(n_events[b])
+        keb = ke[:ne, b]
+        valid = keb >= 0
+        softs = np.flatnonzero((soft_all[:ne, b] == 1) & valid)
+        t0 = int(softs[-1]) if softs.size else 0
+        sel = np.flatnonzero(valid[t0:]) + t0
+        if sel.size == 0:
+            out.append((np.zeros(0, np.int32), np.zeros(0, np.int32), ""))
+            continue
+        kes = keb[sel].astype(np.int64)
+        sts = st_all[sel, b]
+        ds = dist_all[sel, b].astype(np.int64)
+        hs = head_all[sel, b]
+        isk = sts == ST_K
+        cnt = np.where(isk, ds + 2, 1)
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        total = int(off[-1])
+        evs = np.repeat(sel, cnt).astype(np.int32)
+        kms = np.empty(total, np.int64)
+        chars = np.full(total, 75, np.uint8)                  # 'K'
+        first = off[:-1]
+        base_km = np.where(isk, kes - ds - 1, kes)
+        kms[first] = base_km
+        chars[first] = np.where(isk, np.where(hs == 1, 66, 77),
+                                np.where(sts == ST_M, 77, 66))
+        tail = np.ones(total, bool)
+        tail[first] = False
+        if tail.any():
+            blk = np.repeat(np.arange(sel.size), cnt)
+            j = np.arange(total) - off[blk]
+            kms[tail] = base_km[blk[tail]] + j[tail]
+        out.append((evs, kms.astype(np.int32),
+                    chars.tobytes().decode("ascii")))
     return out
 
 
