@@ -288,7 +288,11 @@ def align_reads_to_ref(
     if waves <= 0:
         import jax
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        waves = 4 if (on_tpu and len(live) >= 16) else 1
+        # sync-bound through a remote relay: the wall floor is
+        # rounds x RTT / waves, and the vectorized host consume leaves
+        # plenty of GIL headroom, so deepen with job count
+        waves = 1 if not on_tpu else \
+            (8 if len(live) >= 64 else 4 if len(live) >= 16 else 1)
     if waves > 1:
         from concurrent.futures import ThreadPoolExecutor
 

@@ -578,7 +578,7 @@ class ScoreBatcher:
         idx_env = os.environ.get("NPT_HMM_INDEXED", "auto")
 
         n = len(self._pend)
-        ids = np.zeros((n, 4), np.int32)
+        ids_list: List[Tuple[int, int, int, int]] = []
         ev_rows: List[Tuple] = []      # (sr, strand, e1, e2)
         tab_rows: List[Tuple] = []     # (sr, strand, model)
         rank_rows: List[np.ndarray] = []
@@ -593,7 +593,7 @@ class ScoreBatcher:
         # cache instead of rebuilding+hashing key tuples per unit — this
         # loop ran at variants-screening volume (200k+ units/window)
         epoch = object()
-        for i, (hs, data) in enumerate(self._pend):
+        for hs, data in self._pend:
             st = getattr(data, "_flush_st", None)
             if st is None or st[0] is not epoch:
                 ekey = (id(data.sr), data.strand, data.event_start_idx,
@@ -633,10 +633,10 @@ class ScoreBatcher:
             if ri is None:
                 ri = rst[1][rkey] = len(rank_rows)
                 rank_rows.append(hs.kmer_ranks(model.k, data.rc))
-            ids[i, 0] = ei
-            ids[i, 1] = ti
-            ids[i, 2] = ri
-            ids[i, 3] = xi
+            ids_list.append((ei, ti, ri, xi))
+        # one array build instead of 4n scalar numpy writes (this loop
+        # runs at variants-screening volume, 200k+ units/window)
+        ids = np.asarray(ids_list, np.int32).reshape(n, 4)
 
         n_ev_u = np.array([abs(e2 - e1) + 1 for _, _, e1, e2 in ev_rows],
                           np.int32)
