@@ -23,6 +23,25 @@ from ..ops.profile_hmm import (
     profile_hmm_forward, profile_hmm_viterbi, viterbi_backtrack,
 )
 
+import threading
+
+_CACHE_INIT_LOCK = threading.Lock()
+
+
+def _read_cache(read, attr: str) -> dict:
+    """Get-or-create a per-read cache dict with double-checked locking:
+    jobs sharing a SquiggleRead can run on different wavefront threads,
+    and an unguarded getattr-then-set could overwrite a freshly
+    populated dict."""
+    cache = getattr(read, attr, None)
+    if cache is None:
+        with _CACHE_INIT_LOCK:
+            cache = getattr(read, attr, None)
+            if cache is None:
+                cache = {}
+                setattr(read, attr, cache)
+    return cache
+
 
 @dataclass
 class HMMSegment:
@@ -46,10 +65,7 @@ def read_drift_levels(read: SquiggleRead, strand: int) -> np.ndarray:
     Identity-keyed on the scalings object (calibration REPLACES
     read.scalings[strand], calibration.py), so a stale cache is
     impossible."""
-    cache = getattr(read, "_drift_levels_cache", None)
-    if cache is None:
-        cache = {}
-        read._drift_levels_cache = cache
+    cache = _read_cache(read, "_drift_levels_cache")
     s = read.scalings[strand]
     entry = cache.get(strand)
     if entry is None or entry[0] is not s:
@@ -83,10 +99,7 @@ def _model_tables(read: SquiggleRead, strand: int, model
     per array.  Identity keys are sound because calibration REPLACES
     read.scalings[strand] (calibration.py:56) rather than mutating it."""
     s = read.scalings[strand]
-    cache = getattr(read, "_segment_model_cache", None)
-    if cache is None:
-        cache = {}
-        read._segment_model_cache = cache
+    cache = _read_cache(read, "_segment_model_cache")
     entry = cache.get(strand)
     if entry is None or entry[0] is not model or entry[1] is not s:
         entry = (model, s,
@@ -226,7 +239,8 @@ def _viterbi_segments_pallas(segments: Sequence[HMMSegment],
         return results
     # ONE device->host fetch for all chunks (each materialization pays a
     # relay round trip even when the dispatches were pipelined)
-    flat = np.asarray(jnp.concatenate([p[2] for p in pending]))
+    from ..utils.syncstats import timed_fetch
+    flat = timed_fetch(jnp.concatenate([p[2] for p in pending]))
     off = 0
     for chunk, shape, _dev, nev, nk, B0 in pending:
         sz = shape[0] * shape[1]
@@ -312,8 +326,9 @@ def _forward_segments_pallas(segments: Sequence[HMMSegment],
     # ONE device->host fetch for the whole batch: concatenate the chunk
     # results on device first (each separate materialization pays a full
     # relay round trip even when the dispatches were pipelined)
+    from ..utils.syncstats import timed_fetch
     with profile_scope("segments.forward_pallas_sync"):
-        flat = np.asarray(jnp.concatenate(
+        flat = timed_fetch(jnp.concatenate(
             [dev[:B0, 0] for chunk, dev, B0 in pending]))
     off = 0
     for chunk, _dev, B0 in pending:
@@ -412,7 +427,8 @@ def forward_arrays_async(levels_mat: np.ndarray, n_events: np.ndarray,
     cat = jnp.concatenate([dev[:B0, 0] for _, dev, B0 in pending])
 
     def materialize() -> np.ndarray:
-        flat = np.asarray(cat)
+        from ..utils.syncstats import timed_fetch
+        flat = timed_fetch(cat)
         off = 0
         for ii, _dev, B0 in pending:
             out[ii] = flat[off:off + B0]

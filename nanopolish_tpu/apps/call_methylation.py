@@ -917,6 +917,8 @@ def _call_single(opt, out):
         return load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS,
                                    num_threads=opt.threads)
 
+    from ..utils.profiler import profile_scope
+
     def build_task(item, reads, reg):
         read_idx, rec = item
         sr = reads.get(rec.qname)
@@ -938,6 +940,11 @@ def _call_single(opt, out):
         return t
 
     def write_tasks(tasks):
+        from ..utils.profiler import profile_scope as _ps
+        with _ps("meth.write"):
+            _write_tasks_impl(tasks)
+
+    def _write_tasks_impl(tasks):
         for t in tasks:
             write_read_sites(out, t["record"], t["site_score_map"])
             if bam_writer is not None:
@@ -958,6 +965,7 @@ def _call_single(opt, out):
     # per chunk (ingest fetch, score fetch) with the NEXT chunk's host
     # work: ingest rides a one-ahead loader thread and score fetches
     # resolve on a worker thread.
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     write_site_header(out)
@@ -966,27 +974,48 @@ def _call_single(opt, out):
         for batch in proc.batches():
             subs = [batch[i:i + pipe_chunk]
                     for i in range(0, len(batch), pipe_chunk)]
-            # all chunk loads go up front on TWO workers: neighbouring
-            # chunks' ingest relay round trips overlap each other as well
-            # as this thread's geometry/dispatch work
-            ing_futs = [ing_pool.submit(load_chunk, s) for s in subs]
-            done = []
+            # chunk loads ride TWO workers with a bounded lookahead:
+            # neighbouring chunks' ingest relay round trips overlap each
+            # other and this thread's geometry/dispatch work, while only
+            # O(lookahead x chunk) SquiggleReads are resident at once
+            lookahead = 4
+            ing_futs: deque = deque(
+                ing_pool.submit(load_chunk, s) for s in subs[:lookahead])
+            done: deque = deque()
+
+            def drain(block: bool) -> None:
+                # pop + write head chunks as their fetches resolve
+                # (order preserved by the deque) so reads and pending
+                # device fetches release while later chunks process
+                while done:
+                    tasks, fut = done[0]
+                    if fut is not None:
+                        if not block and not fut.done():
+                            return
+                        fut.result()
+                    done.popleft()
+                    write_tasks(tasks)
+
             for ci, records in enumerate(subs):
-                reads = ing_futs[ci].result()
+                reads = ing_futs.popleft().result()
+                if ci + lookahead < len(subs):
+                    ing_futs.append(
+                        ing_pool.submit(load_chunk, subs[ci + lookahead]))
                 reg = _ScoreArrays() if use_array else None
-                built = [build_task(item, reads, reg) for item in records]
+                with profile_scope("meth.collect"):
+                    built = [build_task(item, reads, reg)
+                             for item in records]
                 tasks = [t for t in built if t is not None]
                 if use_array:
-                    resolve = score_batch_arrays(tasks, reg)
+                    with profile_scope("meth.drain_prep"):
+                        resolve = score_batch_arrays(tasks, reg)
                     done.append((tasks, fetch_pool.submit(resolve)))
                 else:
                     score_batch(tasks)
                     done.append((tasks, None))
+                drain(block=False)
             # ordered output per batch (BamProcessor batch_func semantics)
-            for tasks, fut in done:
-                if fut is not None:
-                    fut.result()
-                write_tasks(tasks)
+            drain(block=True)
     if bam_writer is not None:
         bam_writer.close()
     proc.close()

@@ -9,8 +9,9 @@ HDF5-free.
 Format (slow5 spec v1.0):
   BLOW5 header: magic "BLOW5\\x01" (8 bytes incl version+flags), attributes
   as a zlib'd TSV header block; records: [u32 record_len][record bytes],
-  each optionally zlib/zstd compressed; signal optionally svb-zd compressed
-  (not supported here — plain int16 only).
+  each optionally zlib/zstd compressed; signal either plain int16 or
+  svb-zd (StreamVByte + zig-zag delta) compressed — both supported here
+  (see ``_svb_decode``).
 """
 
 from __future__ import annotations

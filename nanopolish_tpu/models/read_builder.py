@@ -66,7 +66,12 @@ from .squiggle import (
 @dataclass
 class ReadStats:
     """Global skip counters (squiggle_read.cpp:29-34, printed at exit by
-    main/nanopolish.cpp:87-97)."""
+    main/nanopolish.cpp:87-97).
+
+    ``add`` is the thread-safe increment: build_reads runs event
+    detection on a thread pool and the apps run whole chunk loads on
+    concurrent workers, so plain ``+=`` on the shared instance can lose
+    counts."""
 
     total_reads: int = 0
     unparseable_reads: int = 0
@@ -74,6 +79,14 @@ class ReadStats:
     failed_calibration_reads: int = 0
     failed_alignment_reads: int = 0
     bad_fast5_file: int = 0
+
+    def __post_init__(self):
+        import threading
+        self._lock = threading.Lock()
+
+    def add(self, field: str, n: int = 1) -> None:
+        with self._lock:
+            setattr(self, field, getattr(self, field) + n)
 
     def report(self) -> str:
         lines = []
@@ -131,10 +144,10 @@ def build_reads(
     # ---- host stage: trim + event detection (threaded native loops) ----
     def detect(idx_inp):
         i, inp = idx_inp
-        stats.total_reads += 1
+        stats.add("total_reads")
         seq = inp.sequence
         if len(seq) <= 20 or inp.raw is None or len(inp.raw) == 0:
-            stats.bad_fast5_file += 1
+            stats.add("bad_fast5_file")
             return i, None
         rna = (inp.experiment_type in ("rna", "internal_rna")
                and inp.sequencing_kit != "sqk-dcs108")
@@ -142,12 +155,12 @@ def build_reads(
                   else event_detect.EVENT_DETECTION_DEFAULTS)
         bounds = event_detect.trim_and_segment_raw(inp.raw, 200, 10, 100, 0.0)
         if bounds is None:
-            stats.bad_fast5_file += 1
+            stats.add("bad_fast5_file")
             return i, None
         start, end = bounds
         et = event_detect.detect_events(inp.raw[start:end], params)
         if len(et) == 0:
-            stats.bad_fast5_file += 1
+            stats.add("bad_fast5_file")
             return i, None
         return i, (et, rna, start, end)
 
@@ -169,7 +182,7 @@ def build_reads(
             model = pms.get_model("r9.4_450bps", "nucleotide", "template", 6)
         ranks = model.alphabet.seq_to_kmer_ranks(seq, model.k)
         if len(ranks) == 0:
-            stats.unparseable_reads += 1
+            stats.add("unparseable_reads")
             continue
         durations = (et.length / inp.sample_rate).astype(np.float32)
         start_time = np.concatenate([[0.0], np.cumsum(durations)[:-1]]).astype(np.float32)
@@ -196,12 +209,23 @@ def build_reads(
     for lo in range(0, len(work), max_batch):
         chunks.extend(_split_for_hbm(work[lo : lo + max_batch]))
     if _ingest_fused_enabled():
-        # dispatch EVERY chunk's fused program before materializing any:
-        # chunk i's packed fetch (a relay round trip on remote rigs) then
-        # overlaps chunk i+1's device work
-        pend = [(c, _dispatch_fused_chunk(c)) for c in chunks]
-        for c, resolve in pend:
-            _finish_fused_chunk(c, resolve(), results, stats)
+        # Pipeline with a bounded in-flight window: chunk i's packed
+        # fetch (a relay round trip on remote rigs) overlaps chunks
+        # i+1..i+W's device work, but device-buffer residency stays
+        # O(W x chunk) instead of O(corpus) — dispatching every chunk
+        # up front would hold all padded inputs + outputs in HBM at
+        # once and risk exhaustion on large read sets.
+        from collections import deque
+        window = 3
+        pend: deque = deque()
+        for c in chunks:
+            pend.append((c, _dispatch_fused_chunk(c)))
+            if len(pend) >= window:
+                hc, resolve = pend.popleft()
+                _finish_fused_chunk(hc, resolve(), results, stats)
+        while pend:
+            hc, resolve = pend.popleft()
+            _finish_fused_chunk(hc, resolve(), results, stats)
     else:
         for c in chunks:
             _process_chunk(c, results, stats)
@@ -316,7 +340,8 @@ def _process_chunk_impl(chunk, results, stats: ReadStats):
     # each materialization pays a full relay round trip on remote rigs
     shift, scale = estimate_scalings_mom(ev_mean, n_events, lvl_mean,
                                          n_kmers)
-    ss = np.asarray(jnp.stack([shift, scale]))
+    from ..utils.syncstats import timed_fetch
+    ss = timed_fetch(jnp.stack([shift, scale]))
     shift, scale = ss[0], ss[1]
 
     # scaled gaussians for the banded aligner (var=1, drift=0 here)
@@ -341,7 +366,7 @@ def _process_chunk_impl(chunk, results, stats: ReadStats):
                         scale_var=True, scale_drift=False)
     # one packed transfer for the five [B] result vectors (the bool
     # round-trips exactly through float32 0.0/1.0)
-    rr = np.asarray(jnp.stack([
+    rr = timed_fetch(jnp.stack([
         recal.shift, recal.scale, recal.drift, recal.var,
         recal.recalibrated.astype(jnp.float32)]))
     _assemble_reads(chunk, b2e_start, b2e_stop, failed_align,
@@ -370,7 +395,7 @@ def _assemble_reads(chunk, b2e_start, b2e_stop, failed_align,
         results[i] = read
 
         if failed_align[bi]:
-            stats.failed_alignment_reads += 1
+            stats.add("failed_alignment_reads")
             read.events_per_base[T_IDX] = 0.0
             continue
 
@@ -379,7 +404,7 @@ def _assemble_reads(chunk, b2e_start, b2e_stop, failed_align,
         read.events_per_base[T_IDX] = float(events_per_base[bi])
 
         if (not r_ok[bi]) or r_var[bi] > MIN_CALIBRATION_VAR:
-            stats.failed_calibration_reads += 1
+            stats.add("failed_calibration_reads")
             read.base_to_event_map[T_IDX] = None
             continue
 
@@ -389,6 +414,6 @@ def _assemble_reads(chunk, b2e_start, b2e_stop, failed_align,
 
         # events/base QC (squiggle_read.cpp:332-336)
         if read.events_per_base[T_IDX] > MAX_EVENTS_PER_BASE:
-            stats.qc_fail_reads += 1
+            stats.add("qc_fail_reads")
             read.events[T_IDX] = None
             read.base_to_event_map[T_IDX] = None

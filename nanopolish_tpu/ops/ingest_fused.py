@@ -211,7 +211,8 @@ def ingest_align_recalibrate_async(ev_mean, ev_time, n_events, lvl_mean,
         pending.append((dev, hi - lo))
 
     def resolve() -> IngestResult:
-        parts = [IngestResult(np.asarray(dev)[:n], K0) for dev, n in pending]
+        from ..utils.syncstats import timed_fetch
+        parts = [IngestResult(timed_fetch(dev)[:n], K0) for dev, n in pending]
         if len(parts) == 1:
             return parts[0]
         out = parts[0]

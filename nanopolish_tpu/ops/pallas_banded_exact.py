@@ -4,11 +4,11 @@ Implements the banding of ``adaptive_banded_simple_event_align``
 (reference: src/nanopolish_raw_loader.cpp:77-379) *exactly*: a 100-wide
 anti-diagonal band whose per-band down/right placement follows Suzuki's
 rule on the two band-edge scores, f32 scoring in the reference's
-operation order, and the reference's tie-breaking (L > U > D).  Unlike
-ops/pallas_banded.py (the epoch-window kernel, which approximates the
-band placement and may pick a different leading-trim entry on noisy
-reads), this kernel byte-matches the `lax.scan` port and the NumPy
-reference port cell for cell.
+operation order, and the reference's tie-breaking (L > U > D).  This
+kernel byte-matches the `lax.scan` port (ops/banded_align) and the
+NumPy reference port cell for cell; it is the sole production banded
+backend (the round-1 approximate epoch-window kernel was deleted once
+this one became both faster and reference-exact).
 
 TPU-native formulation
 ----------------------

@@ -557,8 +557,9 @@ def forward_indexed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
             dev = _forward_indexed_call(
                 jnp.asarray(wire), E, Tc, Rp, S, U, Kc, R2, B, TP, KP)
             pending.append((ii, dev, len(ii)))
-    flat = np.asarray(jnp.concatenate([d[:b, 0] for _, d, b in pending])) \
-        if len(pending) > 1 else np.asarray(pending[0][1][:pending[0][2], 0])
+    from ..utils.syncstats import timed_fetch
+    flat = timed_fetch(jnp.concatenate([d[:b, 0] for _, d, b in pending])) \
+        if len(pending) > 1 else timed_fetch(pending[0][1][:pending[0][2], 0])
     off = 0
     for ii, _d, b in pending:
         out[ii] = flat[off:off + b]
@@ -1268,9 +1269,10 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
                 KP, scan_hi)
             pending.append((sel[ss], dev, len(ss)))
             lo_row = hi_row
-    flat = np.asarray(jnp.concatenate([d[:b] for _, d, b in pending])) \
+    from ..utils.syncstats import timed_fetch
+    flat = timed_fetch(jnp.concatenate([d[:b] for _, d, b in pending])) \
         if len(pending) > 1 else \
-        np.asarray(pending[0][1][:pending[0][2]])
+        timed_fetch(pending[0][1][:pending[0][2]])
     off = 0
     for ii, _d, b in pending:
         out[ii] = flat[off:off + b]

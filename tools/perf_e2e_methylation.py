@@ -90,15 +90,30 @@ def build_corpus(d):
 
 
 def run_once(fastq, bam, ref_fa):
+    from nanopolish_tpu.utils.syncstats import SYNC_STATS
+
     out = io.StringIO()
-    t0 = time.perf_counter()
-    cm_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-q", "cpg",
-                 "-t", os.environ.get("NPT_E2E_THREADS", "4")],
-                stdout=out)
-    dt = time.perf_counter() - t0
+    with SYNC_STATS.capture() as snap:
+        t0 = time.perf_counter()
+        cm_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-q", "cpg",
+                     "-t", os.environ.get("NPT_E2E_THREADS", "4")],
+                    stdout=out)
+        dt = time.perf_counter() - t0
     lines = [l for l in out.getvalue().splitlines() if l and
              not l.startswith("chromosome\t")]
-    return dt, len(lines)
+    return dt, len(lines), snap
+
+
+def check_sync_ceiling(snap, n_chunks):
+    """Relay-independent regression guard (VERDICT r3 #6): the pipeline
+    budget is <=1 ingest fetch per ingest sub-chunk plus 1 score fetch
+    per pipe chunk (+1 slack each for remainder buckets).  A change that
+    adds a sync per chunk trips this even when the tunnel is fast."""
+    ceiling = 4 * n_chunks + 8
+    if snap.sync_count > ceiling:
+        raise SystemExit(
+            f"SYNC REGRESSION: {snap.sync_count} device fetches for "
+            f"{n_chunks} chunks (ceiling {ceiling})")
 
 
 def main():
@@ -108,18 +123,20 @@ def main():
         print(f"corpus: {N_READS} reads x {READ_LEN}b in "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
-        cold_s, n_sites = run_once(fastq, bam, ref_fa)
+        n_chunks = (N_READS + 63) // 64
+        cold_s, n_sites, snap = run_once(fastq, bam, ref_fa)
         print(json.dumps({"pass": "cold", "reads": N_READS,
                           "sites": n_sites, "s": round(cold_s, 1),
                           "sites_per_s": round(n_sites / cold_s, 1),
-                          "reads_per_s": round(N_READS / cold_s, 2)}),
+                          "reads_per_s": round(N_READS / cold_s, 2),
+                          **snap.as_dict()}),
               flush=True)
         if os.environ.get("NPT_E2E_PROFILE"):
             import cProfile
             import pstats
             pr = cProfile.Profile()
             pr.enable()
-            warm_s, n_sites = run_once(fastq, bam, ref_fa)
+            warm_s, n_sites, snap = run_once(fastq, bam, ref_fa)
             pr.disable()
             pstats.Stats(pr, stream=sys.stderr).sort_stats(
                 "cumulative").print_stats(35)
@@ -128,20 +145,32 @@ def main():
             # the remote-attachment tunnel's latency mode flaps on a
             # minutes timescale (PERF.md "honest timing"); sample the
             # warm pass several times and report each + the best, like
-            # bench.py does for the kernel metric
+            # bench.py does for the kernel metric.  Each sample carries
+            # the relay-independent triple (host_s = wall - blocked,
+            # blocked_s inside device fetches, sync_count).
             reps = int(os.environ.get("NPT_E2E_REPS", "4"))
-            warm_s, n_sites = run_once(fastq, bam, ref_fa)
-        best = warm_s
+            warm_s, n_sites, snap = run_once(fastq, bam, ref_fa)
+        check_sync_ceiling(snap, n_chunks)
+        best, best_snap = warm_s, snap
         for _ in range(reps - 1):
-            s_i, _ = run_once(fastq, bam, ref_fa)
+            s_i, _, snap_i = run_once(fastq, bam, ref_fa)
+            check_sync_ceiling(snap_i, n_chunks)
             print(json.dumps({"pass": "warm_sample", "s": round(s_i, 2),
-                              "sites_per_s": round(n_sites / s_i, 1)}),
+                              "sites_per_s": round(n_sites / s_i, 1),
+                              "host_s": round(s_i - snap_i.blocked_s, 2),
+                              **snap_i.as_dict()}),
                   flush=True)
-            best = min(best, s_i)
+            if s_i < best:
+                best, best_snap = s_i, snap_i
         print(json.dumps({"pass": "warm", "reads": N_READS,
                           "sites": n_sites, "s": round(best, 1),
                           "sites_per_s": round(n_sites / best, 1),
-                          "reads_per_s": round(N_READS / best, 2)}),
+                          "reads_per_s": round(N_READS / best, 2),
+                          "host_s": round(best - best_snap.blocked_s, 2),
+                          "host_sites_per_s": round(
+                              n_sites / max(best - best_snap.blocked_s,
+                                            1e-9), 1),
+                          **best_snap.as_dict()}),
               flush=True)
 
 
