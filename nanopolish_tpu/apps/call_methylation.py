@@ -443,6 +443,80 @@ def collect_read_tasks_arrays(sr, record, ref_seq, ref_start_pos, params,
     return blocks
 
 
+def collect_read_tasks_native(sr, record, ref_seq, ref_start_pos, params,
+                              region_start, region_end, reg: _ScoreArrays):
+    """collect_read_tasks_arrays with the geometry inner loop in native
+    code (csrc/meth_geometry.cpp): motif scan, grouping, event bounds,
+    QC, and the final rank rows come back from ONE C call per strand.
+    The rank matrices register as a single flat rank row whose per-group
+    slices are addressed by (start=row*k_cap, step=1) — the exact
+    indirection score_batch_arrays already consumes, so the downstream
+    drain is unchanged and byte-identical (parity-pinned by
+    tests/test_call_methylation_e2e.py).  Returns None when the native
+    library is unavailable or declines — the caller falls back to the
+    Python array path."""
+    from ..alignment.segments import _model_tables, read_drift_levels
+    from ..utils.native import get_native_lib
+
+    lib = get_native_lib()
+    if lib is None or getattr(lib, "_meth_geometry", None) is None:
+        return None
+    alphabet = params.alphabet
+    blocks = []
+    for strand_idx in (0, 1):
+        if not sr.has_events_for_strand(strand_idx):
+            continue
+        k = sr.get_model_k(strand_idx)
+        pms = PoreModelSet.instance()
+        if not pms.has_model(sr.get_model_kit_name(strand_idx),
+                             params.methylation_type,
+                             sr.get_model_strand_name(strand_idx), k):
+            continue
+        meth_model = sr.get_model(strand_idx, params.methylation_type)
+
+        seq_record = SequenceAlignmentRecord.from_bam(record)
+        event_record = EventAlignmentRecord.build(sr, strand_idx, seq_record)
+        if event_record.aligned_events.shape[0] == 0:
+            continue
+        rc = event_record.rc
+
+        g = lib.meth_geometry(
+            ref_seq, event_record.aligned_events, ref_start_pos,
+            region_start, region_end, params.min_separation,
+            params.min_flank, k, rc, MAX_EVENT_TO_BP_RATIO, alphabet)
+        if g is None:
+            return None
+        ng = g["ng"]
+        if ng == 0:
+            continue
+        k_cap = g["k_cap"]
+        ri_u = reg.add_rank(g["ranks_u"].reshape(-1))
+        ri_m = reg.add_rank(g["ranks_m"].reshape(-1))
+        row_starts = np.arange(ng, dtype=np.int64) * k_cap
+        mu_t, sig_t = _model_tables(sr, strand_idx, meth_model)
+        blocks.append({
+            "lev": reg.add_levels(read_drift_levels(sr, strand_idx)),
+            "tab": reg.add_table(mu_t, sig_t),
+            "epb": float(sr.events_per_base[strand_idx]),
+            "strand_idx": strand_idx,
+            "e1": g["e1"],
+            "estep": g["estep"],
+            "nev": g["nev"],
+            "ru_src": np.full(ng, ri_u, np.int64),
+            "ru_start": row_starts,
+            "rstep": np.ones(ng, np.int64),
+            "rm_src": np.full(ng, ri_m, np.int64),
+            "rm_start": row_starts,
+            "nk": g["nk"],
+            "start_pos": g["start_pos"],
+            "end_pos": g["end_pos"],
+            "n_motif": g["n_motif"],
+            "seq_lo": g["seq_lo"],
+            "seq_hi": g["seq_hi"],
+        })
+    return blocks
+
+
 def score_batch_arrays(tasks, reg: _ScoreArrays):
     """Score every task block with batched gathers + one async kernel
     sweep; returns a zero-arg resolve() that fetches the scores and fills
@@ -529,31 +603,103 @@ def score_batch_arrays(tasks, reg: _ScoreArrays):
         sm = scores[G:]
         off = 0
         for t in tasks:
-            smap: Dict[int, ScoredSite] = t["site_score_map"]
-            ref_seq = t["ref_seq"]
-            for b in t["blocks"]:
-                g = len(b["e1"])
-                sidx = b["strand_idx"]
-                sp = b["start_pos"]
-                ep = b["end_pos"]
-                nm = b["n_motif"]
-                lo = b["seq_lo"]
-                hi = b["seq_hi"]
-                for j in range(g):
-                    pos = int(sp[j])
-                    ss = smap.get(pos)
-                    if ss is None:
-                        ss = ScoredSite(
-                            chromosome=t["contig"], start_position=pos,
-                            end_position=int(ep[j]), n_motif=int(nm[j]),
-                            sequence=ref_seq[lo[j]:hi[j]])
-                        smap[pos] = ss
-                    ss.ll_unmethylated[sidx] = float(su[off + j])
-                    ss.ll_methylated[sidx] = float(sm[off + j])
-                    ss.strands_scored += 1
-                off += g
+            bs = t["blocks"]
+            if not bs:
+                t["site_cols"] = None
+                continue
+            n_t = sum(len(b["e1"]) for b in bs)
+            sl = slice(off, off + n_t)
+            off += n_t
+            pos = np.concatenate([b["start_pos"] for b in bs])
+            endp = np.concatenate([b["end_pos"] for b in bs])
+            nm = np.concatenate([b["n_motif"] for b in bs])
+            lo = np.concatenate([b["seq_lo"] for b in bs])
+            hi = np.concatenate([b["seq_hi"] for b in bs])
+            # merge strands by position, vectorized.  Semantics match
+            # the ScoredSite dict exactly: metadata from the FIRST
+            # occurrence (np.unique's return_index is the minimal
+            # index), log-likelihood sums accumulate in concatenation
+            # order (strand 0 blocks precede strand 1, same as the
+            # dict's ll[0] + ll[1]), output sorted by position.
+            uniq, first, inv = np.unique(pos, return_index=True,
+                                         return_inverse=True)
+            strand = np.concatenate(
+                [np.full(len(b["e1"]), b["strand_idx"], np.int64)
+                 for b in bs])
+            su_t = su[sl].astype(np.float64)
+            sm_t = sm[sl].astype(np.float64)
+            sum_u = np.zeros(len(uniq))
+            sum_m = np.zeros(len(uniq))
+            np.add.at(sum_u, inv, su_t)
+            np.add.at(sum_m, inv, sm_t)
+            # strand-0 contributions kept separately: the modbam path
+            # reads ll[0] alone (basemods.cpp:60 uses the template
+            # strand's likelihoods)
+            u0 = np.zeros(len(uniq))
+            m0 = np.zeros(len(uniq))
+            s0 = strand == 0
+            np.add.at(u0, inv[s0], su_t[s0])
+            np.add.at(m0, inv[s0], sm_t[s0])
+            t["site_cols"] = {
+                "pos": uniq, "end": endp[first], "n_motif": nm[first],
+                "seq_lo": lo[first], "seq_hi": hi[first],
+                "sum_u": sum_u, "sum_m": sum_m, "u0": u0, "m0": m0,
+                "strands": np.bincount(inv, minlength=len(uniq)),
+            }
 
     return resolve
+
+
+def site_cols_to_map(t) -> Dict[int, "ScoredSite"]:
+    """Materialize a legacy site_score_map from resolved column arrays
+    (the modbam writers walk ScoredSite objects; TSV renders straight
+    from the columns).  Strand-0 lls are exact (u0/m0 accumulated
+    separately); strand 1 is reconstructed as sum - strand0, which only
+    the TSV sum path would notice — and that path renders from the
+    columns directly."""
+    cols = t.get("site_cols")
+    smap: Dict[int, ScoredSite] = {}
+    if cols is None:
+        return smap
+    ref_seq = t["ref_seq"]
+    for p, e, n, l, h, u, m, u0, m0, st in zip(
+            cols["pos"].tolist(), cols["end"].tolist(),
+            cols["n_motif"].tolist(), cols["seq_lo"].tolist(),
+            cols["seq_hi"].tolist(), cols["sum_u"].tolist(),
+            cols["sum_m"].tolist(), cols["u0"].tolist(),
+            cols["m0"].tolist(), cols["strands"].tolist()):
+        ss = ScoredSite(chromosome=t["contig"], start_position=p,
+                        end_position=e, n_motif=n, sequence=ref_seq[l:h])
+        ss.ll_unmethylated[0] = u0
+        ss.ll_methylated[0] = m0
+        ss.ll_unmethylated[1] = u - u0
+        ss.ll_methylated[1] = m - m0
+        ss.strands_scored = st
+        smap[p] = ss
+    return smap
+
+
+def write_read_sites_cols(fp: TextIO, record, t) -> None:
+    """write_read_sites rendered from resolved column arrays — identical
+    bytes (same float64 sums, same :.2f formatting, same position
+    sort), no per-site objects."""
+    cols = t.get("site_cols")
+    if cols is None:
+        return
+    orientation = "-" if record.is_reverse else "+"
+    chrom = t["contig"]
+    qname = record.qname
+    ref_seq = t["ref_seq"]
+    rows = []
+    for p, e, u, m, st, n, l, h in zip(
+            cols["pos"].tolist(), cols["end"].tolist(),
+            cols["sum_u"].tolist(), cols["sum_m"].tolist(),
+            cols["strands"].tolist(), cols["n_motif"].tolist(),
+            cols["seq_lo"].tolist(), cols["seq_hi"].tolist()):
+        rows.append(f"{chrom}\t{orientation}\t{p}\t{e}\t{qname}\t"
+                    f"{m - u:.2f}\t{m:.2f}\t{u:.2f}\t{st}\t{n}\t"
+                    f"{ref_seq[l:h]}\n")
+    fp.write("".join(rows))
 
 
 def score_batch(tasks) -> None:
@@ -910,6 +1056,7 @@ def _call_single(opt, out):
                                proc.references, proc.reader.lengths)
 
     use_array = os.environ.get("NPT_METH_ARRAY", "1") != "0"
+    use_native = os.environ.get("NPT_METH_NATIVE", "1") != "0"
     pipe_chunk = max(1, int(os.environ.get("NPT_METH_CHUNK", "64")))
 
     def load_chunk(records):
@@ -931,9 +1078,16 @@ def _call_single(opt, out):
         t = {"record": rec, "contig": contig, "ref_seq": ref_seq,
              "site_score_map": {}}
         if reg is not None:
-            t["blocks"] = collect_read_tasks_arrays(
-                sr, rec, ref_seq, rec.pos, params, region_start, region_end,
-                reg)
+            blocks = None
+            if use_native:
+                blocks = collect_read_tasks_native(
+                    sr, rec, ref_seq, rec.pos, params, region_start,
+                    region_end, reg)
+            if blocks is None:
+                blocks = collect_read_tasks_arrays(
+                    sr, rec, ref_seq, rec.pos, params, region_start,
+                    region_end, reg)
+            t["blocks"] = blocks
         else:
             t["segments"], t["metas"] = collect_read_tasks(
                 sr, rec, ref_seq, rec.pos, params, region_start, region_end)
@@ -946,15 +1100,20 @@ def _call_single(opt, out):
 
     def _write_tasks_impl(tasks):
         for t in tasks:
-            write_read_sites(out, t["record"], t["site_score_map"])
+            if "site_cols" in t:
+                write_read_sites_cols(out, t["record"], t)
+                smap = site_cols_to_map(t) if bam_writer is not None \
+                    else None
+            else:
+                smap = t["site_score_map"]
+                write_read_sites(out, t["record"], smap)
             if bam_writer is not None:
                 if opt.modbam_style == "read":
-                    rec = create_modbam_record(t["record"],
-                                               t["site_score_map"],
+                    rec = create_modbam_record(t["record"], smap,
                                                params.alphabet)
                 else:
                     rec = create_reference_modbam_record(
-                        fai, t["contig"], t["record"], t["site_score_map"],
+                        fai, t["contig"], t["record"], smap,
                         params.alphabet)
                 bam_writer.write(rec)
 

@@ -45,6 +45,86 @@ class NativeLib:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
         ]
+        self._meth_geometry = getattr(cdll, "npt_meth_geometry", None)
+        if self._meth_geometry is not None:
+            m = self._meth_geometry
+            m.restype = ctypes.c_int64
+            i64 = ctypes.c_int64
+            p64 = ctypes.POINTER(ctypes.c_int64)
+            p32 = ctypes.POINTER(ctypes.c_int32)
+            m.argtypes = [
+                ctypes.c_char_p, i64,                  # ref_seq
+                p64, i64,                              # pairs
+                i64, i64, i64,                         # ref_start/region
+                i64, i64, i64, i64,                    # sep/flank/k/rc
+                ctypes.c_double,                       # max_ratio
+                ctypes.c_char_p, i64, ctypes.c_char_p, # bases/size/compl
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                i64, i64,                              # n_sites, rl
+                i64, i64,                              # cap_groups, k_cap
+                p64, p64, p64, p64,                    # e1/estep/nev/nk
+                p32, p32,                              # ranks_u/m
+                p64, p64, p64, p64, p64,               # positions/meta
+            ]
+
+    def meth_geometry(self, ref_seq: str, pairs: np.ndarray,
+                      ref_start_pos: int, region_start: int, region_end: int,
+                      min_separation: int, min_flank: int, k: int, rc: bool,
+                      max_ratio: float, alphabet, k_cap: int = 256):
+        """One-call per-(read, strand) methylation task geometry
+        (csrc/meth_geometry.cpp).  Returns a dict of group arrays with
+        zero-padded [ng, k_cap] rank matrices, or None when the native
+        routine declines (capacity exceeded) — callers fall back to the
+        Python array path."""
+        if self._meth_geometry is None:
+            return None
+        n_ref = len(ref_seq)
+        pairs = np.ascontiguousarray(pairs, dtype=np.int64)
+        cap = n_ref // (min_separation + 1) + 2
+        # one int64 block for the 9 scalar outputs; two rank matrices
+        meta = np.empty((9, cap), np.int64)
+        ranks_u = np.empty((cap, k_cap), np.int32)
+        ranks_m = np.empty((cap, k_cap), np.int32)
+        # encoded alphabet spec, cached on the (frozen) alphabet object
+        spec = getattr(alphabet, "_native_spec", None)
+        if spec is None:
+            spec = (alphabet.bases.encode("ascii"), len(alphabet.bases),
+                    alphabet.complements.encode("ascii"),
+                    "".join(alphabet.recognition_sites).encode("ascii"),
+                    "".join(alphabet.recognition_sites_methylated
+                            ).encode("ascii"),
+                    "".join(alphabet.recognition_sites_methylated_complement
+                            ).encode("ascii"),
+                    len(alphabet.recognition_sites),
+                    alphabet.recognition_length)
+            object.__setattr__(alphabet, "_native_spec", spec)
+        P64 = ctypes.POINTER(ctypes.c_int64)
+        P32 = ctypes.POINTER(ctypes.c_int32)
+        base = meta.ctypes.data
+
+        def mrow(i):
+            return ctypes.cast(base + i * cap * 8, P64)
+
+        ng = self._meth_geometry(
+            ref_seq.encode("ascii"), n_ref,
+            pairs.ctypes.data_as(P64), pairs.shape[0],
+            ref_start_pos, region_start, region_end,
+            min_separation, min_flank, k, int(rc),
+            float(max_ratio),
+            spec[0], spec[1], spec[2], spec[3], spec[4], spec[5],
+            spec[6], spec[7],
+            cap, k_cap,
+            mrow(0), mrow(1), mrow(2), mrow(3),
+            ranks_u.ctypes.data_as(P32), ranks_m.ctypes.data_as(P32),
+            mrow(4), mrow(5), mrow(6), mrow(7), mrow(8))
+        if ng < 0:
+            return None
+        return {"ng": int(ng), "e1": meta[0, :ng], "estep": meta[1, :ng],
+                "nev": meta[2, :ng], "nk": meta[3, :ng],
+                "ranks_u": ranks_u[:ng], "ranks_m": ranks_m[:ng],
+                "start_pos": meta[4, :ng], "end_pos": meta[5, :ng],
+                "n_motif": meta[6, :ng], "seq_lo": meta[7, :ng],
+                "seq_hi": meta[8, :ng], "k_cap": k_cap}
 
     def peak_detect(self, tstat1: np.ndarray, tstat2: np.ndarray,
                     wl1: int, wl2: int, th1: float, th2: float,

@@ -322,3 +322,119 @@ def test_array_path_parity_straddle(tmp_path, monkeypatch):
     outs = _run_both_paths(fastq, bam, ref_fa, monkeypatch)
     assert outs["1"] == outs["0"]
     assert len(outs["1"].splitlines()) > 10
+
+
+# ---------------------------------------------------------------------------
+# Native geometry parity (csrc/meth_geometry.cpp)
+# ---------------------------------------------------------------------------
+
+def _materialize_block_rows(block, reg):
+    """Expand a block's (src, start, step) rank indirection to per-group
+    rank rows, for representation-independent comparison."""
+    rows_u, rows_m = [], []
+    for j in range(len(block["e1"])):
+        nk = int(block["nk"][j])
+        for key, out in (("ru", rows_u), ("rm", rows_m)):
+            src = int(block[f"{key}_src"][j])
+            start = int(block[f"{key}_start"][j])
+            step = int(block["rstep"][j]) if key == "ru" else \
+                int(block["rstep"][j])
+            buf = np.asarray(reg.rank_rows[src], np.int64)
+            idx = start + np.arange(nk) * step
+            out.append(buf[idx])
+    return rows_u, rows_m
+
+
+def test_native_geometry_block_parity(meth_pipeline):
+    """collect_read_tasks_native must reproduce collect_read_tasks_arrays'
+    geometry and rank rows exactly, across all four methylation
+    alphabets."""
+    from nanopolish_tpu.apps.call_methylation import (
+        CallingParameters, _ScoreArrays, collect_read_tasks_arrays,
+        collect_read_tasks_native)
+    from nanopolish_tpu.apps.bam_processor import BamBatchProcessor
+    from nanopolish_tpu.io.fasta import FastaIndex
+    from nanopolish_tpu.io.readdb import ReadDB
+    from nanopolish_tpu.models.read_loader import load_squiggle_reads
+    from nanopolish_tpu.utils.alphabet import DNA_ALPHABET
+    from nanopolish_tpu.utils.native import get_native_lib
+
+    assert get_native_lib() is not None, "native lib must build"
+    p = meth_pipeline
+    read_db = ReadDB()
+    read_db.load(p["fastq"])
+    fai = FastaIndex(p["ref_fa"])
+    proc = BamBatchProcessor(p["bam"], batch_size=512,
+                             min_mapping_quality=20)
+    batch = next(proc.batches())
+    names = sorted({rec.qname for _, rec in batch})
+    reads = load_squiggle_reads(names, read_db, num_threads=2)
+
+    n_groups_checked = 0
+    for mtype in ("cpg", "gpc", "dam", "dcm"):
+        params = CallingParameters(methylation_type=mtype)
+        for read_idx, rec in batch:
+            sr = reads.get(rec.qname)
+            if sr is None:
+                continue
+            contig = proc.references[rec.tid]
+            ref_seq = DNA_ALPHABET.disambiguate(
+                fai.fetch(contig, rec.pos,
+                          rec.reference_end() + 1).upper())
+            reg_a = _ScoreArrays()
+            blocks_a = collect_read_tasks_arrays(
+                sr, rec, ref_seq, rec.pos, params, -1, -1, reg_a)
+            reg_n = _ScoreArrays()
+            blocks_n = collect_read_tasks_native(
+                sr, rec, ref_seq, rec.pos, params, -1, -1, reg_n)
+            assert blocks_n is not None
+            assert len(blocks_a) == len(blocks_n)
+            for ba, bn in zip(blocks_a, blocks_n):
+                for key in ("strand_idx", "epb"):
+                    assert ba[key] == bn[key]
+                for key in ("e1", "estep", "nev", "nk", "start_pos",
+                            "end_pos", "n_motif", "seq_lo", "seq_hi"):
+                    np.testing.assert_array_equal(
+                        np.asarray(ba[key], np.int64),
+                        np.asarray(bn[key], np.int64), err_msg=key)
+                ua, ma = _materialize_block_rows(ba, reg_a)
+                un, mn = _materialize_block_rows(bn, reg_n)
+                for ra, rn in zip(ua + ma, un + mn):
+                    np.testing.assert_array_equal(ra, rn)
+                n_groups_checked += len(ba["e1"])
+    assert n_groups_checked > 100
+
+
+def test_native_path_tsv_parity(meth_pipeline, monkeypatch):
+    """e2e TSV byte equality: native geometry on vs off."""
+    p = meth_pipeline
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("NPT_METH_NATIVE", mode)
+        monkeypatch.setenv("NPT_METH_CHUNK", "3")
+        out = io.StringIO()
+        cm_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"],
+                     "-q", "cpg"], stdout=out)
+        outs[mode] = out.getvalue()
+    assert outs["1"] == outs["0"]
+    assert len(outs["1"].splitlines()) > 8
+
+
+def test_native_path_tsv_parity_straddle(tmp_path, monkeypatch):
+    """Native parity on the straddle-forcing corpus (boundary-cut sites
+    exercise the per-window methylate semantics in C)."""
+    rng = np.random.default_rng(23)
+    unit = "ATTGATAGACG"
+    genome = ("ATCAAT" * 10) + unit * 60 + ("TTAGCA" * 10)
+    plan = [("s0", 0, False, True, 400), ("s1", 150, True, False, 400),
+            ("s2", 300, False, True, 400)]
+    fastq, bam, ref_fa = _build_corpus(tmp_path, genome, plan, rng)
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("NPT_METH_NATIVE", mode)
+        out = io.StringIO()
+        cm_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-q", "cpg"],
+                    stdout=out)
+        outs[mode] = out.getvalue()
+    assert outs["1"] == outs["0"]
+    assert len(outs["1"].splitlines()) > 10
