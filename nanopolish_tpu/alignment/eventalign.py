@@ -106,6 +106,8 @@ class _Job:
     ref_seq: str
     rc_ref_seq: str
     pair_segments: List[np.ndarray]
+    wranks_fwd: Optional[np.ndarray] = None
+    wranks_rc: Optional[np.ndarray] = None
     out_ref: List[np.ndarray] = field(default_factory=list)
     out_ev: List[np.ndarray] = field(default_factory=list)
     out_st: List[np.ndarray] = field(default_factory=list)
@@ -123,7 +125,6 @@ class _Job:
     forward: bool = True
 
     # per-round context
-    _hmm_seq: Optional[HMMInputSequence] = None
     _input_rc: bool = False
     _event_stop: int = 0
     _last_section: bool = False
@@ -199,14 +200,10 @@ def _prepare(job: _Job) -> Optional[HMMSegment]:
 
         s = job.curr_start_ref - job.ref_offset
         l = curr_end_ref - job.curr_start_ref + 1
-        fwd_subseq = job.ref_seq[s:s + l]
-        rc_subseq = job.rc_ref_seq[len(job.ref_seq) - s - l:
-                                   len(job.ref_seq) - s]
-        if len(fwd_subseq) < 2 * k:     # minimum sequence (eventalign.cpp:723)
+        if l < 2 * k:                   # minimum sequence (eventalign.cpp:723)
             job.pairs = None
             job.seg_i += 1
             continue
-        hmm_seq = HMMInputSequence(fwd_subseq, rc_subseq, model.alphabet)
 
         event_stop = read.get_closest_event_to(curr_end_read, job.strand)
         if abs(job.curr_start_event - event_stop) < 2:  # eventalign.cpp:744
@@ -216,9 +213,19 @@ def _prepare(job: _Job) -> Optional[HMMSegment]:
 
         rc_flags = (do_base_rc, not do_base_rc)
         input_rc = rc_flags[job.strand]
-        ranks = hmm_seq.kmer_ranks(k, input_rc)
+        # window kmer ranks as slices of the once-per-job whole-window
+        # rank arrays (HMMInputSequence.kmer_ranks semantics: the rc row
+        # is ranks(rc_subseq) reversed, and rc_subseq is the mirrored
+        # slice of rc_ref_seq) — the per-round HMMInputSequence build +
+        # rank scan was ~30 us x jobs x rounds of pure host time
+        nseq = len(job.ref_seq)
+        nkr = l - k + 1
+        if input_rc:
+            r0 = nseq - s - l
+            ranks = job.wranks_rc[r0:r0 + nkr][::-1]
+        else:
+            ranks = job.wranks_fwd[s:s + nkr]
 
-        job._hmm_seq = hmm_seq
         job._input_rc = input_rc
         job._event_stop = event_stop
         job._end_pair_idx = end_pair_idx
@@ -373,4 +380,6 @@ def _make_job(read: SquiggleRead, record: BamRecord, strand: int,
     return _Job(read=read, record=record, strand=strand, read_idx=read_idx,
                 model=model, ref_name=ref_name, ref_offset=ref_offset,
                 ref_seq=ref_seq, rc_ref_seq=rc_ref_seq,
-                pair_segments=trimmed)
+                pair_segments=trimmed,
+                wranks_fwd=model.alphabet.seq_to_kmer_ranks(ref_seq, k),
+                wranks_rc=model.alphabet.seq_to_kmer_ranks(rc_ref_seq, k))

@@ -412,16 +412,19 @@ def forward_arrays_async(levels_mat: np.ndarray, n_events: np.ndarray,
         cap = 512
         while cap * 2 * bytes_per_seg <= (45 << 20) and cap < 4096:
             cap *= 2
+        from ..utils.profiler import profile_scope
         for lo in range(0, len(idxs), cap):
             ii = np.asarray(idxs[lo:lo + cap])
             T = min(levels_mat.shape[1], tp)
             K = min(mu_mat.shape[1], kp)
-            sig = sigma_mat[ii, :K]
-            packed, TP, B0, _, _ = _pack_hmm_inputs(
-                levels_mat[ii, :T], n_events[ii], mu_mat[ii, :K], sig,
-                np.log(np.maximum(sig, 1e-30)), n_kmers[ii], epb[ii],
-                flags[ii], indel_bias, kp=kp, r_min=64)
-            dev = _profile_hmm_forward_call_packed(packed, TP)
+            with profile_scope("segments.fa_pack"):
+                sig = sigma_mat[ii, :K]
+                packed, TP, B0, _, _ = _pack_hmm_inputs(
+                    levels_mat[ii, :T], n_events[ii], mu_mat[ii, :K], sig,
+                    np.log(np.maximum(sig, 1e-30)), n_kmers[ii], epb[ii],
+                    flags[ii], indel_bias, kp=kp, r_min=64)
+            with profile_scope("segments.fa_dispatch"):
+                dev = _profile_hmm_forward_call_packed(packed, TP)
             pending.append((ii, dev, B0))
     # concatenate on device now (a dispatch), defer the fetch
     cat = jnp.concatenate([dev[:B0, 0] for _, dev, B0 in pending])

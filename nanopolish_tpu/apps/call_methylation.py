@@ -526,6 +526,7 @@ def score_batch_arrays(tasks, reg: _ScoreArrays):
     table gathers, same padding values, same row-bucketed kernel."""
     from ..alignment.segments import forward_arrays_async
 
+    from ..utils.profiler import profile_scope as _ps
     blocks = [b for t in tasks for b in t["blocks"]]
     if not blocks:
         return lambda: None
@@ -533,6 +534,7 @@ def score_batch_arrays(tasks, reg: _ScoreArrays):
     def cat(key):
         return np.concatenate([np.asarray(b[key], np.int64) for b in blocks])
 
+    _g = _ps("meth.drain_gather"); _g.__enter__()
     e1 = cat("e1")
     estep = cat("estep")
     nev = cat("nev")
@@ -593,9 +595,12 @@ def score_batch_arrays(tasks, reg: _ScoreArrays):
     nk2 = np.tile(nk, 2).astype(np.int32)
     epb2 = np.tile(epb, 2)
     flags = np.full(2 * G, HMM_FLAGS, np.int32)
+    _g.__exit__(None, None, None)
 
-    fetch = forward_arrays_async(levels_mat, nev2, mu_mat, sig_mat, nk2,
-                                 epb2, flags)
+    from ..utils.profiler import profile_scope
+    with profile_scope("meth.drain_dispatch"):
+        fetch = forward_arrays_async(levels_mat, nev2, mu_mat, sig_mat, nk2,
+                                     epb2, flags)
 
     def resolve():
         scores = fetch()
@@ -690,6 +695,14 @@ def write_read_sites_cols(fp: TextIO, record, t) -> None:
     chrom = t["contig"]
     qname = record.qname
     ref_seq = t["ref_seq"]
+    from ..utils.native import get_native_lib
+    lib = get_native_lib()
+    if lib is not None:
+        res = lib.format_methylation_rows(chrom, orientation, qname,
+                                          ref_seq, cols)
+        if res is not None:
+            fp.write(res)
+            return
     rows = []
     for p, e, u, m, st, n, l, h in zip(
             cols["pos"].tolist(), cols["end"].tolist(),

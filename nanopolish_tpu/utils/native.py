@@ -45,6 +45,31 @@ class NativeLib:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
         ]
+        i64_ = ctypes.c_int64
+        p64_ = ctypes.POINTER(ctypes.c_int64)
+        p32_ = ctypes.POINTER(ctypes.c_int32)
+        pf_ = ctypes.POINTER(ctypes.c_float)
+        pd_ = ctypes.POINTER(ctypes.c_double)
+        pu8_ = ctypes.POINTER(ctypes.c_uint8)
+        fe = getattr(cdll, "npt_format_eventalign_rows", None)
+        if fe is not None:
+            fe.restype = i64_
+            fe.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char,
+                ctypes.c_char_p, i64_, ctypes.c_char_p, i64_, i64_,
+                p64_, p64_, p64_, pu8_,
+                pf_, pf_, pf_, pf_, pf_, pf_,
+                i64_, ctypes.c_char_p, i64_,
+            ]
+        fm = getattr(cdll, "npt_format_methylation_rows", None)
+        if fm is not None:
+            fm.restype = i64_
+            fm.argtypes = [
+                ctypes.c_char_p, ctypes.c_char, ctypes.c_char_p,
+                ctypes.c_char_p,
+                p64_, p64_, pd_, pd_, p64_, p64_, p64_, p64_,
+                i64_, ctypes.c_char_p, i64_,
+            ]
         self._meth_geometry = getattr(cdll, "npt_meth_geometry", None)
         if self._meth_geometry is not None:
             m = self._meth_geometry
@@ -66,6 +91,66 @@ class NativeLib:
                 p32, p32,                              # ranks_u/m
                 p64, p64, p64, p64, p64,               # positions/meta
             ]
+
+    def format_eventalign_rows(self, ref_name: str, who: str,
+                               strand_ch: str, seq: str, rcq: str, rc: bool,
+                               k: int, rp, pos0, ev, is_b, em, es, ed,
+                               mm, ms, sd) -> Optional[str]:
+        """Native eventalign TSV row formatter (csrc/tsv_format.cpp);
+        byte-identical to the Python f-string emitter.  None when the
+        symbol is unavailable."""
+        fn = getattr(self._lib, "npt_format_eventalign_rows", None)
+        if fn is None:
+            return None
+        n = len(rp)
+        cap = n * (64 + 2 * k + len(ref_name) + len(who)) + 1024
+        out = ctypes.create_string_buffer(cap)
+        P64 = ctypes.POINTER(ctypes.c_int64)
+        PF = ctypes.POINTER(ctypes.c_float)
+        P8 = ctypes.POINTER(ctypes.c_uint8)
+        a64 = lambda a: np.ascontiguousarray(a, np.int64).ctypes.data_as(P64)
+        af = lambda a: np.ascontiguousarray(a, np.float32).ctypes.data_as(PF)
+        fn.restype = ctypes.c_int64
+        wrote = fn(ref_name.encode(), who.encode(),
+                   ctypes.c_char(strand_ch.encode()),
+                   seq.encode(), len(seq),
+                   rcq.encode() if rcq else b"", int(rc), k,
+                   a64(rp), a64(pos0), a64(ev),
+                   np.ascontiguousarray(is_b, np.uint8).ctypes.data_as(P8),
+                   af(em), af(es), af(ed), af(mm), af(ms), af(sd),
+                   n, out, cap)
+        if wrote < 0:
+            return None
+        return out.raw[:wrote].decode("ascii")
+
+    def format_methylation_rows(self, chrom: str, orientation: str,
+                                qname: str, ref_seq: str, cols
+                                ) -> Optional[str]:
+        """Native call-methylation TSV row formatter; byte-identical to
+        write_read_sites_cols' f-strings."""
+        fn = getattr(self._lib, "npt_format_methylation_rows", None)
+        if fn is None:
+            return None
+        n = len(cols["pos"])
+        max_seq = int((cols["seq_hi"] - cols["seq_lo"]).max()) if n else 0
+        cap = n * (64 + max_seq + len(chrom) + len(qname)) + 1024
+        out = ctypes.create_string_buffer(cap)
+        P64 = ctypes.POINTER(ctypes.c_int64)
+        PD = ctypes.POINTER(ctypes.c_double)
+        a64 = lambda a: np.ascontiguousarray(a, np.int64).ctypes.data_as(P64)
+        ad = lambda a: np.ascontiguousarray(
+            a, np.float64).ctypes.data_as(PD)
+        fn.restype = ctypes.c_int64
+        wrote = fn(chrom.encode(), ctypes.c_char(orientation.encode()),
+                   qname.encode(), ref_seq.encode(),
+                   a64(cols["pos"]), a64(cols["end"]),
+                   ad(cols["sum_u"]), ad(cols["sum_m"]),
+                   a64(cols["strands"]), a64(cols["n_motif"]),
+                   a64(cols["seq_lo"]), a64(cols["seq_hi"]),
+                   n, out, cap)
+        if wrote < 0:
+            return None
+        return out.raw[:wrote].decode("ascii")
 
     def meth_geometry(self, ref_seq: str, pairs: np.ndarray,
                       ref_start_pos: int, region_start: int, region_end: int,

@@ -78,12 +78,28 @@ def build_corpus(d):
 
 
 def run_once(fastq, bam, ref_fa):
+    from nanopolish_tpu.utils.syncstats import SYNC_STATS
+
     out = io.StringIO()
-    t0 = time.perf_counter()
-    ea_app.main(["-r", fastq, "-b", bam, "-g", ref_fa], stdout=out)
-    dt = time.perf_counter() - t0
+    with SYNC_STATS.capture() as snap:
+        t0 = time.perf_counter()
+        ea_app.main(["-r", fastq, "-b", bam, "-g", ref_fa], stdout=out)
+        dt = time.perf_counter() - t0
     rows = out.getvalue().count("\n") - 1
-    return dt, rows
+    return dt, rows, snap
+
+
+def check_sync_ceiling(snap):
+    # one Viterbi fetch per wavefront round (W waves run rounds
+    # concurrently but the round count is fixed by the chain) + the
+    # ingest fetches; a sync-per-chunk regression trips this even in a
+    # fast tunnel (VERDICT r3 #6)
+    rounds = (READ_LEN // 50) + 20
+    ceiling = rounds + 4 * ((N_READS + 63) // 64) + 8
+    if snap.sync_count > ceiling:
+        raise SystemExit(
+            f"SYNC REGRESSION: {snap.sync_count} fetches "
+            f"(ceiling {ceiling})")
 
 
 def main():
@@ -98,16 +114,20 @@ def main():
                 import pstats
                 pr = cProfile.Profile()
                 pr.enable()
-                dt, rows = run_once(fastq, bam, ref_fa)
+                dt, rows, snap = run_once(fastq, bam, ref_fa)
                 pr.disable()
                 pstats.Stats(pr, stream=sys.stderr).sort_stats(
                     "cumulative").print_stats(30)
             else:
-                dt, rows = run_once(fastq, bam, ref_fa)
+                dt, rows, snap = run_once(fastq, bam, ref_fa)
+            if tag == "warm":
+                check_sync_ceiling(snap)
             print(json.dumps({"pass": tag, "reads": N_READS, "rows": rows,
                               "s": round(dt, 1),
                               "rows_per_s": round(rows / dt, 1),
-                              "reads_per_s": round(N_READS / dt, 2)}),
+                              "reads_per_s": round(N_READS / dt, 2),
+                              "host_s": round(dt - snap.blocked_s, 2),
+                              **snap.as_dict()}),
                   flush=True)
 
 

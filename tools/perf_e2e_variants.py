@@ -100,11 +100,13 @@ def main():
                 import cProfile
                 pr = cProfile.Profile()
                 pr.enable()
-            t0 = time.perf_counter()
-            var_app.main(["-r", fastq, "-b", bam, "-g", draft_fa,
-                          "-w", f"tig1:0-{DRAFT_LEN - 1}", "--consensus",
-                          "-o", vcf_path, "-d", "10"])
-            dt = time.perf_counter() - t0
+            from nanopolish_tpu.utils.syncstats import SYNC_STATS
+            with SYNC_STATS.capture() as snap:
+                t0 = time.perf_counter()
+                var_app.main(["-r", fastq, "-b", bam, "-g", draft_fa,
+                              "-w", f"tig1:0-{DRAFT_LEN - 1}", "--consensus",
+                              "-o", vcf_path, "-d", "10"])
+                dt = time.perf_counter() - t0
             if pr is not None:
                 import pstats
                 pr.disable()
@@ -122,7 +124,9 @@ def main():
                 "s": round(dt, 1),
                 "bases_per_s": round(DRAFT_LEN / dt, 1),
                 "planted_subs": len(subs), "recovered": recovered,
-                "n_calls": len(keys)}), flush=True)
+                "n_calls": len(keys),
+                "host_s": round(dt - snap.blocked_s, 2),
+                **snap.as_dict()}), flush=True)
 
 
 if __name__ == "__main__":
