@@ -1079,6 +1079,17 @@ def _call_single(opt, out):
 
     from ..utils.profiler import profile_scope
 
+    def load_and_build(records):
+        """Worker-side chunk stage: signal load + ingest + task geometry.
+        The geometry is native-heavy (ctypes releases the GIL), so
+        running it on the loader workers overlaps it with the main
+        thread's scoring dispatch and the previous chunk's fetch."""
+        reads = load_chunk(records)
+        reg = _ScoreArrays() if use_array else None
+        with profile_scope("meth.collect"):
+            built = [build_task(item, reads, reg) for item in records]
+        return [t for t in built if t is not None], reg
+
     def build_task(item, reads, reg):
         read_idx, rec = item
         sr = reads.get(rec.qname)
@@ -1152,7 +1163,7 @@ def _call_single(opt, out):
             # O(lookahead x chunk) SquiggleReads are resident at once
             lookahead = 4
             ing_futs: deque = deque(
-                ing_pool.submit(load_chunk, s) for s in subs[:lookahead])
+                ing_pool.submit(load_and_build, s) for s in subs[:lookahead])
             done: deque = deque()
 
             def drain(block: bool) -> None:
@@ -1169,15 +1180,10 @@ def _call_single(opt, out):
                     write_tasks(tasks)
 
             for ci, records in enumerate(subs):
-                reads = ing_futs.popleft().result()
+                tasks, reg = ing_futs.popleft().result()
                 if ci + lookahead < len(subs):
-                    ing_futs.append(
-                        ing_pool.submit(load_chunk, subs[ci + lookahead]))
-                reg = _ScoreArrays() if use_array else None
-                with profile_scope("meth.collect"):
-                    built = [build_task(item, reads, reg)
-                             for item in records]
-                tasks = [t for t in built if t is not None]
+                    ing_futs.append(ing_pool.submit(
+                        load_and_build, subs[ci + lookahead]))
                 if use_array:
                     with profile_scope("meth.drain_prep"):
                         resolve = score_batch_arrays(tasks, reg)

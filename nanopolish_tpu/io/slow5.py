@@ -301,6 +301,60 @@ def _svb_decode(data: bytes, off: int, n: int, mode: int):
     return out.astype(np.int16), p
 
 
+class Blow5Writer:
+    """Binary BLOW5 writer (the production bulk-signal format: binary
+    records decode with one np.frombuffer instead of per-sample text
+    parsing — ~20x faster signal loads than ASCII .slow5).  Matches
+    this module's reader layout: 24-byte preamble, zlib'd TSV header
+    block, [u32 len][record] stream, 0xFFFFFFFF EOF marker.  Aux
+    columns mirror Slow5Writer (start_time uint64, channel_number
+    int32)."""
+
+    def __init__(self, path: str, record_compression: int = 0):
+        assert record_compression in (0, 1)      # none | zlib
+        self._comp = record_compression
+        self._fh = open(path, "wb")
+        hdr_text = ("#slow5_version\t2.0.0\n"
+                    "#num_read_groups\t1\n"
+                    "@asic_id\t0\n"
+                    "#" + "\t".join(["char*", "uint32_t", "double",
+                                     "double", "double", "double",
+                                     "uint64_t", "int16_t*", "uint64_t",
+                                     "int32_t"]) + "\n"
+                    "#" + "\t".join(_PRIMARY + ["start_time",
+                                                "channel_number"]) + "\n")
+        hdr = zlib.compress(hdr_text.encode("ascii"))
+        # 8-byte magic block + 2 version bytes (reader preamble layout)
+        self._fh.write(b"BLOW5\x01\x00\x00" + b"\x00\x00")
+        self._fh.write(struct.pack("<BBI4xI", self._comp, 0, 1, len(hdr)))
+        self._fh.write(hdr)
+
+    def write(self, read_id: str, raw_adc: np.ndarray, digitisation: float,
+              offset: float, range_: float, sampling_rate: float,
+              start_time: int = 0, channel: int = 0):
+        rid = read_id.encode("ascii")
+        sig = np.ascontiguousarray(raw_adc, "<i2")
+        rec = (struct.pack("<H", len(rid)) + rid
+               + struct.pack("<Idddd Q".replace(" ", ""), 0, digitisation,
+                             offset, range_, sampling_rate, len(sig))
+               + sig.tobytes()
+               + struct.pack("<Qi", start_time, channel))
+        if self._comp == 1:
+            rec = zlib.compress(rec)
+        self._fh.write(struct.pack("<I", len(rec)))
+        self._fh.write(rec)
+
+    def close(self):
+        self._fh.write(struct.pack("<I", 0xFFFFFFFF))  # EOF marker
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class Slow5Writer:
     """ASCII slow5 writer (for tests and interchange)."""
 

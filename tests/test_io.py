@@ -252,3 +252,34 @@ def test_sam_round_trip(tmp_path):
     back = list(r)[0]
     assert back.qname == "q1" and back.pos == 41 and back.cigar == rec.cigar
     np.testing.assert_array_equal(back.qual, rec.qual)
+
+
+def test_blow5_writer_roundtrip(tmp_path):
+    """Blow5Writer -> Slow5File: binary records, aux fields, index,
+    zlib-compressed variant, and Fast5Data conversion."""
+    import numpy as np
+
+    from nanopolish_tpu.io.slow5 import Blow5Writer, Slow5File
+
+    sig = (np.arange(5000) % 700).astype(np.int16)
+    p = str(tmp_path / "t.blow5")
+    with Blow5Writer(p) as w:
+        w.write("readA", sig, 8192.0, 3.0, 1400.0, 4000.0,
+                start_time=7, channel=2)
+        w.write("readB", -sig, 8192.0, 0.0, 1400.0, 4000.0)
+    f = Slow5File(p)
+    recs = list(f)
+    assert [r.read_id for r in recs] == ["readA", "readB"]
+    r = recs[0]
+    assert r.digitisation == 8192.0 and r.offset == 3.0
+    assert np.array_equal(r.raw_signal, sig)
+    assert r.aux["start_time"] == 7 and r.aux["channel_number"] == 2
+    fd = r.to_fast5_data()
+    assert fd.channel_id == 2 and len(fd.rt) == len(sig)
+    assert set(f.build_index()) == {"readA", "readB"}
+
+    pz = str(tmp_path / "tz.blow5")
+    with Blow5Writer(pz, record_compression=1) as w:
+        w.write("readC", sig, 8192.0, 0.0, 1400.0, 4000.0)
+    rz = list(Slow5File(pz))[0]
+    assert rz.read_id == "readC" and np.array_equal(rz.raw_signal, sig)

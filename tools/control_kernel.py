@@ -55,7 +55,7 @@ from nanopolish_tpu.ops.pallas_banded_exact import (
 
 LP_SKIP = -23.0
 BODIES = ("loop", "dp", "dpwin", "dpwin1", "dpemit", "dpfull",
-          "dpfull_refill")
+          "dpfull_refill", "kstatic", "kstatic128")
 
 
 def _control_kernel(evr_ref, out_ref, trace_ref,
@@ -97,6 +97,92 @@ def _control_kernel(evr_ref, out_ref, trace_ref,
     def band(parity, st):
         (sp, sp2, ew_v, kmu_v, ksig_v, kc_v, kall_v,
          r_prev_v, ll_e_v) = st
+
+        if body in ("kstatic", "kstatic128"):
+            # ---- the kmer-static-lanes frame (VERDICT r3 #3) ----
+            # kmers sit at fixed lanes; the 100-live-cell window drifts
+            # right by one lane per right-move.  What this frame saves:
+            # the 3 kmer-stream conditional rolls and the conditional
+            # neighbor selects (up/left/diag alignment is unconditional:
+            # up = sp, left = roll(sp), diag = roll(sp2)).  What it
+            # pays, per band, on the serial placement path:
+            #   * band-edge score extraction at DYNAMIC per-read lanes
+            #     (two one-hot masked reduces over the DP width);
+            #   * the event stream still rolls conditionally (the event
+            #     vector ev[diag-k] shifts by one lane per down-move)
+            #     AND injects its new element at a dynamic lane;
+            #   * a per-band live-lane mask from the drifting window;
+            #   * 'kstatic': the window straddles 128-lane block
+            #     boundaries per read, so every DP/emission op runs
+            #     2-blocks (256) wide; 'kstatic128' is the OPTIMISTIC
+            #     variant that assumes a free re-centering scheme keeps
+            #     everything 128 wide (a lower bound for the frame).
+            # Role remap (scaffold scratches, widths fixed):
+            #   ew_v [Bs,256] = scores d-1; kmu_v [Bs,256] = scores d-2;
+            #   ksig_v [Bs,256] = event stream; kall_v 3x[Bs,256] =
+            #   static kmer mu/sig/const; ll_e_v [Bs,1] = k_low.
+            Wk = LANES if body == "kstatic128" else 2 * LANES
+            lanesW = _iota_b(Bs, Wk)
+            klow = ll_e_v
+            spW = ew_v[:, :Wk]
+            sp2W = kmu_v[:, :Wk]
+            evW = ksig_v[:, :Wk]
+            kmuW = kall_v[0:Bs, :Wk]
+            ksigW = kall_v[Bs:2 * Bs, :Wk]
+            kcW = kall_v[2 * Bs:3 * Bs, :Wk]
+
+            # dynamic band-edge extraction (serial path)
+            low_oh = lanesW == (klow & (Wk - 1))
+            hi_oh = lanesW == ((klow + BANDWIDTH - 1) & (Wk - 1))
+            ll = jnp.sum(jnp.where(low_oh, spW, 0.0), axis=1,
+                         keepdims=True)
+            ur = jnp.sum(jnp.where(hi_oh, spW, 0.0), axis=1,
+                         keepdims=True)
+            r_i = (ll < ur).astype(jnp.int32)
+            right = r_i > 0
+            right_w = jnp.broadcast_to(right, (Bs, Wk))
+            klow_new = klow + r_i
+
+            # event stream: conditional roll + dynamic-lane inject
+            evW = jnp.where(right_w, evW, pltpu.roll(evW, 1, 1))
+            inj = jnp.broadcast_to(ll + ur, (Bs, Wk))
+            evW = jnp.where(low_oh & (~right_w), inj, evW)
+
+            # emission vs static kmer tables
+            a = (evW - kmuW) / ksigW
+            em = kcW + (-0.5 * a) * a
+
+            # unconditional neighbor alignment
+            left = pltpu.roll(spW, 1, 1)
+            diag = pltpu.roll(sp2W, 1, 1)
+            sd = (diag + 0.125) + em
+            su = (spW + 0.0625) + em
+            sl = left + LP_SKIP
+            m2 = jnp.maximum(sd, su)
+            m3 = jnp.maximum(m2, sl)
+            # live-lane mask of the drifting window (wrap ignored: a
+            # real kernel would pay MORE here)
+            lo = klow_new & (Wk - 1)
+            live = (lanesW >= lo) & (lanesW < lo + BANDWIDTH)
+            m3 = jnp.where(live, m3, -jnp.inf)
+            tr = jnp.where(sl >= m2, 2, jnp.where(su >= sd, 1, 0))
+            tr128 = tr[:, :LANES] | jnp.broadcast_to(r_i, (Bs, LANES))
+
+            ew_n = ew_v
+            kmu_n = kmu_v
+            ksig_n = ksig_v
+            if Wk == LANES:
+                ew_n = jnp.concatenate([m3, ew_v[:, LANES:]], axis=1)
+                kmu_n = jnp.concatenate([spW, kmu_v[:, LANES:]], axis=1)
+                ksig_n = jnp.concatenate([evW, ksig_v[:, LANES:]],
+                                         axis=1)
+            else:
+                ew_n = m3
+                kmu_n = spW
+                ksig_n = evW
+            return tr128, (sp, sp2, ew_n, kmu_n, ksig_n, kc_v, kall_v,
+                           r_i, klow_new)
+
         ll = sp[:, 0:1]
         ur = sp[:, BANDWIDTH - 1:BANDWIDTH]
         both_ob = (ll < -1e30) & (ur < -1e30)

@@ -26,7 +26,7 @@ if os.environ.get("NPT_PLATFORM"):      # e.g. NPT_PLATFORM=cpu for smoke
 from nanopolish_tpu.apps import eventalign as ea_app
 from nanopolish_tpu.apps import index as index_app
 from nanopolish_tpu.io.bam import BamRecord, BamWriter
-from nanopolish_tpu.io.slow5 import Slow5Writer
+from nanopolish_tpu.io.slow5 import Blow5Writer
 from nanopolish_tpu.models.pore_model import PoreModelSet
 from nanopolish_tpu.models.squiggle import SquiggleScalings
 from nanopolish_tpu.utils.alphabet import DNA_ALPHABET
@@ -51,8 +51,8 @@ def build_corpus(d):
 
     plan = [(f"r{i:04d}", 150 * i, bool(i % 3 == 1)) for i in range(N_READS)]
     fastq = os.path.join(d, "reads.fastq")
-    slow5 = os.path.join(d, "sig.slow5")
-    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+    slow5 = os.path.join(d, "sig.blow5")
+    with open(fastq, "w") as fq, Blow5Writer(slow5) as sw:
         for name, pos, is_rev in plan:
             seg = genome[pos:pos + READ_LEN]
             basecall = DNA_ALPHABET.reverse_complement(seg) if is_rev else seg

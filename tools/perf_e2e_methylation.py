@@ -31,7 +31,7 @@ if os.environ.get("NPT_PLATFORM"):      # e.g. NPT_PLATFORM=cpu for smoke
 from nanopolish_tpu.apps import call_methylation as cm_app
 from nanopolish_tpu.apps import index as index_app
 from nanopolish_tpu.io.bam import BamRecord, BamWriter
-from nanopolish_tpu.io.slow5 import Slow5Writer
+from nanopolish_tpu.io.slow5 import Blow5Writer
 from nanopolish_tpu.models.pore_model import PoreModelSet
 from nanopolish_tpu.models.squiggle import SquiggleScalings
 from nanopolish_tpu.utils.alphabet import DNA_ALPHABET, METHYL_CPG_ALPHABET
@@ -60,8 +60,8 @@ def build_corpus(d):
         plan.append((f"r{i:04d}", 200 * i, bool(i % 3 == 1), bool(i % 2)))
 
     fastq = os.path.join(d, "reads.fastq")
-    slow5 = os.path.join(d, "sig.slow5")
-    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+    slow5 = os.path.join(d, "sig.blow5")
+    with open(fastq, "w") as fq, Blow5Writer(slow5) as sw:
         for name, pos, is_rev, is_meth in plan:
             seg = genome[pos:pos + READ_LEN]
             basecall = DNA_ALPHABET.reverse_complement(seg) if is_rev else seg
@@ -90,8 +90,10 @@ def build_corpus(d):
 
 
 def run_once(fastq, bam, ref_fa):
+    from nanopolish_tpu.utils import profiler
     from nanopolish_tpu.utils.syncstats import SYNC_STATS
 
+    before = profiler.snapshot()
     out = io.StringIO()
     with SYNC_STATS.capture() as snap:
         t0 = time.perf_counter()
@@ -99,6 +101,10 @@ def run_once(fastq, bam, ref_fa):
                      "-t", os.environ.get("NPT_E2E_THREADS", "4")],
                     stdout=out)
         dt = time.perf_counter() - t0
+    after = profiler.snapshot()
+    snap.stages = {k: round(after[k][1] - before.get(k, (0, 0.0))[1], 3)
+                   for k in after
+                   if after[k][1] - before.get(k, (0, 0.0))[1] > 0.001}
     lines = [l for l in out.getvalue().splitlines() if l and
              not l.startswith("chromosome\t")]
     return dt, len(lines), snap
@@ -158,7 +164,8 @@ def main():
             print(json.dumps({"pass": "warm_sample", "s": round(s_i, 2),
                               "sites_per_s": round(n_sites / s_i, 1),
                               "host_s": round(s_i - snap_i.blocked_s, 2),
-                              **snap_i.as_dict()}),
+                              **snap_i.as_dict(),
+                              "stages": getattr(snap_i, "stages", {})}),
                   flush=True)
             if s_i < best:
                 best, best_snap = s_i, snap_i
@@ -170,7 +177,8 @@ def main():
                           "host_sites_per_s": round(
                               n_sites / max(best - best_snap.blocked_s,
                                             1e-9), 1),
-                          **best_snap.as_dict()}),
+                          **best_snap.as_dict(),
+                          "stages": getattr(best_snap, "stages", {})}),
               flush=True)
 
 

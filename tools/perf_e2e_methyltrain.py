@@ -27,7 +27,7 @@ if os.environ.get("NPT_PLATFORM"):      # e.g. NPT_PLATFORM=cpu for smoke
 from nanopolish_tpu.apps import index as index_app
 from nanopolish_tpu.apps import methyltrain as mt_app
 from nanopolish_tpu.io.bam import BamRecord, BamWriter
-from nanopolish_tpu.io.slow5 import Slow5Writer
+from nanopolish_tpu.io.slow5 import Blow5Writer
 from nanopolish_tpu.models.pore_model import PoreModelSet
 from nanopolish_tpu.models.squiggle import SquiggleScalings
 from nanopolish_tpu.utils.alphabet import METHYL_CPG_ALPHABET
@@ -70,8 +70,8 @@ def main():
         fh.write(model_path + "\n")
 
     fastq = os.path.join(d, "reads.fastq")
-    slow5 = os.path.join(d, "sig.slow5")
-    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+    slow5 = os.path.join(d, "sig.blow5")
+    with open(fastq, "w") as fq, Blow5Writer(slow5) as sw:
         for i in range(N_READS):
             name = f"r{i}"
             fq.write(f"@{name}\n{genome}\n+\n{'I' * len(genome)}\n")

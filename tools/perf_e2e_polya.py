@@ -26,7 +26,7 @@ if os.environ.get("NPT_PLATFORM"):      # e.g. NPT_PLATFORM=cpu for smoke
 from nanopolish_tpu.apps import index as index_app
 from nanopolish_tpu.apps import polya as polya_app
 from nanopolish_tpu.io.bam import BamRecord, BamWriter
-from nanopolish_tpu.io.slow5 import Slow5Record, Slow5Writer
+from nanopolish_tpu.io.slow5 import Blow5Writer, Slow5Record
 from nanopolish_tpu.models.pore_model import PoreModelSet
 from nanopolish_tpu.utils.synthetic import random_sequence
 
@@ -66,8 +66,8 @@ def build_corpus(d):
             fh.write(transcript[i:i + 60] + "\n")
 
     fastq = os.path.join(d, "reads.fastq")
-    slow5 = os.path.join(d, "sig.slow5")
-    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+    slow5 = os.path.join(d, "sig.blow5")
+    with open(fastq, "w") as fq, Blow5Writer(slow5) as sw:
         for i in range(N_READS):
             name = f"rna{i}"
             fq.write(f"@{name}\n{transcript}\n+\n{'I' * TRANSCRIPT_LEN}\n")

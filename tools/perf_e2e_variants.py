@@ -27,7 +27,7 @@ if os.environ.get("NPT_PLATFORM"):      # e.g. NPT_PLATFORM=cpu for smoke
 from nanopolish_tpu.apps import index as index_app
 from nanopolish_tpu.apps import variants as var_app
 from nanopolish_tpu.io.bam import BamRecord, BamWriter
-from nanopolish_tpu.io.slow5 import Slow5Writer
+from nanopolish_tpu.io.slow5 import Blow5Writer
 from nanopolish_tpu.models.pore_model import PoreModelSet
 from nanopolish_tpu.models.squiggle import SquiggleScalings
 from nanopolish_tpu.utils.synthetic import random_sequence, synthetic_raw_signal
@@ -65,8 +65,8 @@ def build_corpus(d):
             for i in range(N_READS)]
 
     fastq = os.path.join(d, "reads.fastq")
-    slow5 = os.path.join(d, "sig.slow5")
-    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+    slow5 = os.path.join(d, "sig.blow5")
+    with open(fastq, "w") as fq, Blow5Writer(slow5) as sw:
         for name, pos in plan:
             seg = truth[pos:pos + READ_LEN]
             fq.write(f"@{name}\n{seg}\n+\n{'I' * len(seg)}\n")
