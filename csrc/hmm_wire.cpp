@@ -1,0 +1,95 @@
+// hmm_wire.cpp -- native builder for the profile-HMM packed wire.
+//
+// The scoring drain's kernel input is one [B, TP+3*KP+12] f32 row per
+// segment (ops/pallas_profile_hmm._pack_hmm_inputs layout: ev | a |
+// b2 | c0 | nev,nk (i32 bitcast) | trans[8] | clips[2]).  Building it
+// in numpy costs two large fancy-gathers plus a pad/concat pass
+// (~1.4 s per 512-read call-methylation batch); this routine writes
+// each row in one pass from the drain's indirection form — whole-read
+// level rows, rank rows, per-(read,strand,model) tables — with
+// identical f32 values: inv/c0 are gathered from tables precomputed
+// with the same np.float32 expressions, and b2 = mu*inv is the same
+// f32 product the numpy path computes elementwise.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+void npt_build_hmm_wire(
+    const float* lev_buf,
+    const int32_t* rank_buf,
+    const float* tabs,           // [3, n_tabs, S]: mu, inv, c0
+    int64_t n_tabs, int64_t S,
+    const int64_t* lev_pos,      // [n] absolute level start per segment
+    const int64_t* estep, const int64_t* nev,
+    const int64_t* rk_pos,       // [n] absolute rank start per segment
+    const int64_t* rk_step, const int64_t* nk,
+    const int64_t* tab_id,
+    const float* trans8,         // [n, 8]
+    const float* clips,          // [n, 2]
+    const float* trans_pad,      // [8] default row for padding rows
+    const int64_t* sel, int64_t nsel, int64_t B,
+    int64_t TP, int64_t KP, float neg,
+    float* wire) {               // [B, TP + 3*KP + 12], uninitialized
+    const int64_t W = TP + 3 * KP + 12;
+    for (int64_t r = 0; r < B; ++r) {
+        float* row = wire + r * W;
+        if (r >= nsel) {
+            // padding row: zeros, c0 = NEG, nev=nk=1, default trans
+            std::memset(row, 0, (size_t)(TP + 2 * KP) * sizeof(float));
+            float* c0 = row + TP + 2 * KP;
+            for (int64_t j = 0; j < KP; ++j) c0[j] = neg;
+            float* tail = row + TP + 3 * KP;
+            const int32_t one = 1;
+            std::memcpy(tail, &one, 4);
+            std::memcpy(tail + 1, &one, 4);
+            for (int j = 0; j < 8; ++j) tail[2 + j] = trans_pad[j];
+            tail[10] = 0.0f;
+            tail[11] = 0.0f;
+            continue;
+        }
+        const int64_t i = sel[r];
+        const int64_t ne = nev[i], nkk = nk[i];
+        // levels
+        const float* lsrc = lev_buf + lev_pos[i];
+        const int64_t es = estep[i];
+        if (es == 1) {
+            std::memcpy(row, lsrc, (size_t)ne * sizeof(float));
+        } else {
+            for (int64_t t = 0; t < ne; ++t) row[t] = lsrc[-t];
+        }
+        std::memset(row + ne, 0, (size_t)(TP - ne) * sizeof(float));
+        // a = inv, b2 = mu*inv, c0 (NEG-padded)
+        float* a = row + TP;
+        float* b2 = a + KP;
+        float* c0 = b2 + KP;
+        const int32_t* rsrc = rank_buf + rk_pos[i];
+        const int64_t rs = rk_step[i];
+        const float* tmu = tabs + (size_t)tab_id[i] * S;
+        const float* tinv = tabs + (size_t)(n_tabs + tab_id[i]) * S;
+        const float* tc0 = tabs + (size_t)(2 * n_tabs + tab_id[i]) * S;
+        for (int64_t j = 0; j < nkk; ++j) {
+            const int32_t rk = rsrc[j * rs];
+            a[j] = tinv[rk];
+            b2[j] = tmu[rk] * tinv[rk];
+            c0[j] = tc0[rk];
+        }
+        for (int64_t j = nkk; j < KP; ++j) {
+            a[j] = 0.0f;
+            b2[j] = 0.0f;
+        }
+        for (int64_t j = nkk; j < KP; ++j) c0[j] = neg;
+        // tail: nev, nk (i32 bitcast), trans, clips
+        float* tail = row + TP + 3 * KP;
+        const int32_t ne32 = (int32_t)(ne > 0 ? ne : 1);
+        const int32_t nk32 = (int32_t)(nkk > 0 ? nkk : 1);
+        std::memcpy(tail, &ne32, 4);
+        std::memcpy(tail + 1, &nk32, 4);
+        std::memcpy(tail + 2, trans8 + i * 8, 8 * sizeof(float));
+        tail[10] = clips[i * 2];
+        tail[11] = clips[i * 2 + 1];
+    }
+}
+
+}  // extern "C"

@@ -509,6 +509,9 @@ class ScoreBatcher:
     are deterministic for a loaded region, so repeats skip the device
     entirely."""
 
+    MEMO_HITS = 0          # process-global visibility (perf tools)
+    MEMO_MISSES = 0
+
     def __init__(self, indel_bias: float = 1.0,
                  memo: Optional[dict] = None,
                  flags: int = HAF_ALLOW_PRE_CLIP | HAF_ALLOW_POST_CLIP):
@@ -524,6 +527,13 @@ class ScoreBatcher:
         self._results: Optional[np.ndarray] = None
         self._indel_bias = indel_bias
         self._memo = memo
+        # in-flight dedup: identical (sequence set, event range) units
+        # added before the flush resolve to ONE unit.  The screening
+        # loop adds the shared base haplotype once per candidate EDIT at
+        # a position (9x per read) — without this the drain scores the
+        # same segments 9 times.  Identical scores either way: the
+        # kernel is row-deterministic for identical inputs.
+        self._inflight: dict = {}
 
     def add(self, sequences: List[HMMInputSequence], data: EventSequence,
             frags: Optional[tuple] = None) -> int:
@@ -542,13 +552,22 @@ class ScoreBatcher:
             key = (frags, dk, self._indel_bias)
             hit = self._memo.get(key)
             if hit is not None:
+                ScoreBatcher.MEMO_HITS += 1
                 self._units.append((None, hit, None))
                 return len(self._units) - 1
+            prev = self._inflight.get(key)
+            if prev is not None:
+                ScoreBatcher.MEMO_HITS += 1
+                return prev
+            ScoreBatcher.MEMO_MISSES += 1
         start = len(self._pend)
         for hs in sequences:
             self._pend.append((hs, data))
         self._units.append((start, len(sequences), key))
-        return len(self._units) - 1
+        idx = len(self._units) - 1
+        if key is not None:
+            self._inflight[key] = idx
+        return idx
 
     def flush(self):
         scores = self._score_pending() if self._pend \

@@ -517,6 +517,116 @@ def collect_read_tasks_native(sr, record, ref_seq, ref_start_pos, params,
     return blocks
 
 
+def _forward_blocks_wire(lib, reg: _ScoreArrays, e1, estep, nev, ru_src,
+                         ru_start, rstep, rm_src, rm_start, nk, lev_id,
+                         tab_id, epb):
+    """Score the batch via the native wire builder (csrc/hmm_wire.cpp):
+    each kernel-input row is written in ONE C pass from the indirection
+    form instead of two large numpy fancy-gathers + a pad/concat pass.
+    f32-identical to the gather path (tests pin TSV byte equality with
+    NPT_METH_WIRE=0): inv/c0 gather from tables precomputed with the
+    same np.float32 expressions _pack_hmm_inputs applies elementwise.
+    Returns the fetch closure (scores ordered unmeth[0..G) then
+    meth[G..2G))."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas_profile_hmm import (LOG_INV_SQRT_2PI, _np_transitions,
+                                          _profile_hmm_forward_call_packed)
+
+    G = len(e1)
+    lev_off = np.concatenate(
+        [[0], np.cumsum([len(a) for a in reg.lev_rows])])[:-1]
+    lev_buf = np.ascontiguousarray(
+        np.concatenate(reg.lev_rows), np.float32)
+    rank_off = np.concatenate(
+        [[0], np.cumsum([len(a) for a in reg.rank_rows])])[:-1]
+    rank_buf = np.ascontiguousarray(
+        np.concatenate([np.asarray(a).ravel() for a in reg.rank_rows]),
+        np.int32)
+
+    n_tabs = len(reg.mu_tabs)
+    S = max(len(t) for t in reg.mu_tabs)
+    tabs = np.zeros((3, n_tabs, S), np.float32)
+    for t, (mt, st) in enumerate(zip(reg.mu_tabs, reg.sig_tabs)):
+        sig = np.maximum(np.asarray(st, np.float32), 1e-30)
+        tabs[0, t, :len(mt)] = mt
+        tabs[1, t, :len(st)] = 1.0 / sig
+        tabs[2, t, :len(st)] = LOG_INV_SQRT_2PI - np.log(sig)
+    tabs = np.ascontiguousarray(tabs)
+
+    # per-segment (2G rows: unmeth then meth)
+    lev_pos1 = lev_off[lev_id] + e1
+    lev_pos = np.tile(lev_pos1, 2)
+    estep2 = np.tile(estep, 2)
+    nev2 = np.tile(nev, 2)
+    rk_pos = np.concatenate([rank_off[ru_src] + ru_start,
+                             rank_off[rm_src] + rm_start])
+    rk_step = np.tile(rstep, 2)
+    nk2 = np.tile(nk, 2)
+    tab2 = np.tile(tab_id, 2)
+    trans1 = _np_transitions(epb, 1.0).astype(np.float32)
+    trans8 = np.ascontiguousarray(np.tile(trans1, (2, 1)))
+    clips = np.ascontiguousarray(
+        np.broadcast_to(np.array(
+            [float((HMM_FLAGS & HAF_ALLOW_PRE_CLIP) > 0),
+             float((HMM_FLAGS & HAF_ALLOW_POST_CLIP) > 0)], np.float32),
+            (2 * G, 2)).copy())
+    trans_pad = np.ascontiguousarray(
+        _np_transitions(np.array([2.0], np.float32), 1.0)[0].astype(
+            np.float32))
+    asi = lambda a: np.ascontiguousarray(a, np.int64)  # noqa: E731
+    lev_pos = asi(lev_pos)
+    estep2 = asi(estep2)
+    nev2 = asi(nev2)
+    rk_pos = asi(rk_pos)
+    rk_step = asi(rk_step)
+    nk2 = asi(nk2)
+    tab2 = asi(tab2)
+
+    # bucket rows by power-of-two (TP, KP), cap chunks by VMEM budget
+    # (same shapes forward_arrays_async compiles)
+    tp_all = np.maximum(64, np.exp2(np.ceil(np.log2(
+        np.maximum(nev2, 1)))).astype(np.int64))
+    kp_all = np.maximum(128, np.exp2(np.ceil(np.log2(
+        np.maximum(nk2, 1)))).astype(np.int64))
+    buckets: Dict[Tuple[int, int], list] = {}
+    for i in range(2 * G):
+        buckets.setdefault((int(tp_all[i]), int(kp_all[i])), []).append(i)
+
+    NEG = np.float32(-1.0e30)      # pallas_profile_hmm.NEG
+    out = np.zeros(2 * G, np.float32)
+    pending = []
+    for (tp, kp), idxs in buckets.items():
+        bytes_per_seg = 4 * (tp + 3 * kp + 12) + 16 * kp
+        cap = 512
+        while cap * 2 * bytes_per_seg <= (45 << 20) and cap < 4096:
+            cap *= 2
+        for lo in range(0, len(idxs), cap):
+            sel = asi(idxs[lo:lo + cap])
+            B = 1 << int(np.ceil(np.log2(max(len(sel), 1))))
+            B = max(B, 8)
+            wire = np.empty((B, tp + 3 * kp + 12), np.float32)
+            lib.build_hmm_wire(lev_buf, rank_buf, tabs, lev_pos, estep2,
+                               nev2, rk_pos, rk_step, nk2, tab2, trans8,
+                               clips, trans_pad, sel, B, tp, kp,
+                               float(NEG), wire)
+            dev = _profile_hmm_forward_call_packed(wire, tp)
+            pending.append((sel, dev, len(sel)))
+    cat = jnp.concatenate([dev[:b, 0] for _, dev, b in pending]) \
+        if len(pending) > 1 else pending[0][1][:pending[0][2], 0]
+
+    def fetch():
+        from ..utils.syncstats import timed_fetch
+        flat = timed_fetch(cat)
+        off = 0
+        for sel, _dev, b in pending:
+            out[sel] = flat[off:off + b]
+            off += b
+        return out
+
+    return fetch
+
+
 def score_batch_arrays(tasks, reg: _ScoreArrays):
     """Score every task block with batched gathers + one async kernel
     sweep; returns a zero-arg resolve() that fetches the scores and fills
@@ -549,7 +659,22 @@ def score_batch_arrays(tasks, reg: _ScoreArrays):
     tab_id = np.repeat([b["tab"] for b in blocks], sizes)
     epb = np.repeat(np.array([b["epb"] for b in blocks], np.float32), sizes)
     G = len(e1)
+    _g.__exit__(None, None, None)
 
+    import jax
+
+    from ..utils.native import get_native_lib
+    lib = get_native_lib()
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (on_tpu and lib is not None and lib._build_hmm_wire is not None
+            and os.environ.get("NPT_METH_WIRE", "1") != "0"):
+        with _ps("meth.drain_dispatch"):
+            fetch = _forward_blocks_wire(lib, reg, e1, estep, nev, ru_src,
+                                         ru_start, rstep, rm_src, rm_start,
+                                         nk, lev_id, tab_id, epb)
+        return _make_resolver(tasks, fetch, G)
+
+    _g = _ps("meth.drain_gather"); _g.__enter__()
     lev_off = np.concatenate(
         [[0], np.cumsum([len(a) for a in reg.lev_rows])])[:-1]
     lev_buf = np.concatenate(reg.lev_rows + [np.zeros(1, np.float32)])
@@ -601,7 +726,12 @@ def score_batch_arrays(tasks, reg: _ScoreArrays):
     with profile_scope("meth.drain_dispatch"):
         fetch = forward_arrays_async(levels_mat, nev2, mu_mat, sig_mat, nk2,
                                      epb2, flags)
+    return _make_resolver(tasks, fetch, G)
 
+
+def _make_resolver(tasks, fetch, G):
+    """Shared resolve(): fetch 2G scores (unmeth block then meth block)
+    and fill each task's site columns."""
     def resolve():
         scores = fetch()
         su = scores[:G]

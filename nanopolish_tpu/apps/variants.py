@@ -767,8 +767,10 @@ def call_variants_for_region(contig: str, region_start: int, region_end: int,
                               and region_start <= v.ref_position <= region_end]
 
     if opts.consensus_mode:
-        sbe = generate_candidate_single_base_edits(alignments, region_start,
-                                                   region_end, opts)
+        from ..utils.profiler import profile_scope
+        with profile_scope("var.sbe_screen"):
+            sbe = generate_candidate_single_base_edits(
+                alignments, region_start, region_end, opts)
         candidate_variants = dedup_sorted(candidate_variants + sbe)
     if opts.verbose:
         print(f"[variants] {contig}:{region_start}-{region_end}: "
@@ -780,12 +782,15 @@ def call_variants_for_region(contig: str, region_start: int, region_end: int,
                                  alignments.get_region_start(),
                                  alignments.get_reference())
     if opts.consensus_mode:
+        from ..utils.profiler import profile_scope
         last_keys: set = set()
         for round_i in range(opts.max_rounds):
-            filtered = screen_variants_by_score(alignments,
-                                                candidate_variants, opts)
-            called_haplotype = call_haplotype_from_candidates(
-                alignments, filtered, opts)
+            with profile_scope("var.screen"):
+                filtered = screen_variants_by_score(alignments,
+                                                    candidate_variants, opts)
+            with profile_scope("var.call_group"):
+                called_haplotype = call_haplotype_from_candidates(
+                    alignments, filtered, opts)
             called_variants = called_haplotype.get_variants()
             this_keys = {v.key() for v in called_variants}
             changed = this_keys != last_keys
@@ -795,8 +800,10 @@ def call_variants_for_region(contig: str, region_start: int, region_end: int,
                       f"{len(filtered)} screened candidates -> "
                       f"{len(called_variants)} called", file=sys.stderr)
             if changed:
-                candidate_variants = expand_variants(alignments,
-                                                     called_variants, opts)
+                with profile_scope("var.expand"):
+                    candidate_variants = expand_variants(alignments,
+                                                         called_variants,
+                                                         opts)
             else:
                 break
         if opts.fix_homopolymers:

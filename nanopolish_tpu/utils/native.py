@@ -70,27 +70,56 @@ class NativeLib:
                 p64_, p64_, pd_, pd_, p64_, p64_, p64_, p64_,
                 i64_, ctypes.c_char_p, i64_,
             ]
+        self._build_hmm_wire = getattr(cdll, "npt_build_hmm_wire", None)
+        if self._build_hmm_wire is not None:
+            w = self._build_hmm_wire
+            w.restype = None
+            w.argtypes = [
+                pf_, p32_, pf_, i64_, i64_,
+                p64_, p64_, p64_,
+                p64_, p64_, p64_, p64_,
+                pf_, pf_, pf_,
+                p64_, i64_, i64_,
+                i64_, i64_, ctypes.c_float,
+                pf_,
+            ]
         self._meth_geometry = getattr(cdll, "npt_meth_geometry", None)
         if self._meth_geometry is not None:
             m = self._meth_geometry
             m.restype = ctypes.c_int64
-            i64 = ctypes.c_int64
-            p64 = ctypes.POINTER(ctypes.c_int64)
-            p32 = ctypes.POINTER(ctypes.c_int32)
             m.argtypes = [
-                ctypes.c_char_p, i64,                  # ref_seq
-                p64, i64,                              # pairs
-                i64, i64, i64,                         # ref_start/region
-                i64, i64, i64, i64,                    # sep/flank/k/rc
-                ctypes.c_double,                       # max_ratio
-                ctypes.c_char_p, i64, ctypes.c_char_p, # bases/size/compl
+                ctypes.c_char_p, i64_,                  # ref_seq
+                p64_, i64_,                             # pairs
+                i64_, i64_, i64_,                       # ref_start/region
+                i64_, i64_, i64_, i64_,                 # sep/flank/k/rc
+                ctypes.c_double,                        # max_ratio
+                ctypes.c_char_p, i64_, ctypes.c_char_p,  # bases/size/compl
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
-                i64, i64,                              # n_sites, rl
-                i64, i64,                              # cap_groups, k_cap
-                p64, p64, p64, p64,                    # e1/estep/nev/nk
-                p32, p32,                              # ranks_u/m
-                p64, p64, p64, p64, p64,               # positions/meta
+                i64_, i64_,                             # n_sites, rl
+                i64_, i64_,                             # cap_groups, k_cap
+                p64_, p64_, p64_, p64_,                 # e1/estep/nev/nk
+                p32_, p32_,                             # ranks_u/m
+                p64_, p64_, p64_, p64_, p64_,           # positions/meta
             ]
+
+    def build_hmm_wire(self, lev_buf, rank_buf, tabs, lev_pos, estep, nev,
+                       rk_pos, rk_step, nk, tab_id, trans8, clips,
+                       trans_pad, sel, B, TP, KP, neg, wire):
+        """Fill one packed profile-HMM wire chunk (csrc/hmm_wire.cpp);
+        f32-identical to _pack_hmm_inputs over the gathered matrices."""
+        pf = ctypes.POINTER(ctypes.c_float)
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        self._build_hmm_wire(
+            lev_buf.ctypes.data_as(pf), rank_buf.ctypes.data_as(p32),
+            tabs.ctypes.data_as(pf), tabs.shape[1], tabs.shape[2],
+            lev_pos.ctypes.data_as(p64), estep.ctypes.data_as(p64),
+            nev.ctypes.data_as(p64), rk_pos.ctypes.data_as(p64),
+            rk_step.ctypes.data_as(p64), nk.ctypes.data_as(p64),
+            tab_id.ctypes.data_as(p64), trans8.ctypes.data_as(pf),
+            clips.ctypes.data_as(pf), trans_pad.ctypes.data_as(pf),
+            sel.ctypes.data_as(p64), len(sel), B, TP, KP,
+            ctypes.c_float(neg), wire.ctypes.data_as(pf))
 
     def format_eventalign_rows(self, ref_name: str, who: str,
                                strand_ch: str, seq: str, rcq: str, rc: bool,

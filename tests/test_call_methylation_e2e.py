@@ -438,3 +438,133 @@ def test_native_path_tsv_parity_straddle(tmp_path, monkeypatch):
         outs[mode] = out.getvalue()
     assert outs["1"] == outs["0"]
     assert len(outs["1"].splitlines()) > 10
+
+
+def test_native_wire_builder_matches_pack(meth_pipeline):
+    """csrc/hmm_wire.cpp must produce byte-identical packed wire rows to
+    _pack_hmm_inputs over the gathered matrices (the f32 contract the
+    TPU wire path rides)."""
+    from nanopolish_tpu.apps.call_methylation import (
+        CallingParameters, _ScoreArrays, collect_read_tasks_native)
+    from nanopolish_tpu.apps.bam_processor import BamBatchProcessor
+    from nanopolish_tpu.io.fasta import FastaIndex
+    from nanopolish_tpu.io.readdb import ReadDB
+    from nanopolish_tpu.models.read_loader import load_squiggle_reads
+    from nanopolish_tpu.ops.pallas_profile_hmm import (_np_transitions,
+                                                      _pack_hmm_inputs)
+    from nanopolish_tpu.ops.profile_hmm import (HAF_ALLOW_POST_CLIP,
+                                                HAF_ALLOW_PRE_CLIP)
+    from nanopolish_tpu.utils.alphabet import DNA_ALPHABET
+    from nanopolish_tpu.utils.native import get_native_lib
+
+    lib = get_native_lib()
+    assert lib is not None and lib._build_hmm_wire is not None
+    p = meth_pipeline
+    read_db = ReadDB()
+    read_db.load(p["fastq"])
+    fai = FastaIndex(p["ref_fa"])
+    proc = BamBatchProcessor(p["bam"], batch_size=8, min_mapping_quality=20)
+    batch = next(proc.batches())
+    names = sorted({rec.qname for _, rec in batch})
+    reads = load_squiggle_reads(names, read_db, num_threads=2)
+    params = CallingParameters(methylation_type="cpg")
+    reg = _ScoreArrays()
+    blocks = []
+    for read_idx, rec in batch:
+        sr = reads.get(rec.qname)
+        if sr is None:
+            continue
+        ref_seq = DNA_ALPHABET.disambiguate(
+            fai.fetch(proc.references[rec.tid], rec.pos,
+                      rec.reference_end() + 1).upper())
+        bl = collect_read_tasks_native(sr, rec, ref_seq, rec.pos, params,
+                                       -1, -1, reg)
+        blocks.extend(bl or [])
+    assert blocks
+
+    def cat(key):
+        return np.concatenate([np.asarray(b[key], np.int64)
+                               for b in blocks])
+
+    e1, estep, nev = cat("e1"), cat("estep"), cat("nev")
+    ru_src, ru_start, rstep = cat("ru_src"), cat("ru_start"), cat("rstep")
+    rm_src, rm_start, nk = cat("rm_src"), cat("rm_start"), cat("nk")
+    sizes = np.array([len(b["e1"]) for b in blocks], np.int64)
+    lev_id = np.repeat([b["lev"] for b in blocks], sizes)
+    tab_id = np.repeat([b["tab"] for b in blocks], sizes)
+    epb = np.repeat(np.array([b["epb"] for b in blocks], np.float32),
+                    sizes)
+    G = len(e1)
+
+    # reference wire via the numpy gather + pack path
+    from nanopolish_tpu.alignment.segments import segment_levels
+    lev_off = np.concatenate(
+        [[0], np.cumsum([len(a) for a in reg.lev_rows])])[:-1]
+    lev_buf = np.ascontiguousarray(np.concatenate(reg.lev_rows),
+                                   np.float32)
+    rank_off = np.concatenate(
+        [[0], np.cumsum([len(a) for a in reg.rank_rows])])[:-1]
+    rank_buf = np.ascontiguousarray(
+        np.concatenate([np.asarray(a).ravel() for a in reg.rank_rows]),
+        np.int32)
+    flags_val = HAF_ALLOW_PRE_CLIP | HAF_ALLOW_POST_CLIP
+    # take the first bucket (tp, kp) the wire path would form, both
+    # halves (unmeth + meth)
+    lev_pos = np.tile(lev_off[lev_id] + e1, 2)
+    estep2, nev2 = np.tile(estep, 2), np.tile(nev, 2)
+    rk_pos = np.concatenate([rank_off[ru_src] + ru_start,
+                             rank_off[rm_src] + rm_start])
+    rk_step, nk2 = np.tile(rstep, 2), np.tile(nk, 2)
+    tab2 = np.tile(tab_id, 2)
+    epb2 = np.tile(epb, 2)
+    tp = int(np.maximum(64, 2 ** np.ceil(np.log2(nev2.max()))))
+    kp = int(np.maximum(128, 2 ** np.ceil(np.log2(nk2.max()))))
+    sel = np.flatnonzero(
+        (np.maximum(64, np.exp2(np.ceil(np.log2(nev2)))) == tp)
+        & (np.maximum(128, np.exp2(np.ceil(np.log2(nk2)))) == kp)
+    ).astype(np.int64)[:300]
+    assert len(sel) > 4
+    n = len(sel)
+    Tc, Kc = int(nev2[sel].max()), int(nk2[sel].max())
+    levels = np.zeros((n, Tc), np.float32)
+    mu = np.zeros((n, Kc), np.float32)
+    sigma = np.ones((n, Kc), np.float32)
+    for r, i in enumerate(sel.tolist()):
+        idx = lev_pos[i] + np.arange(nev2[i]) * estep2[i]
+        levels[r, :nev2[i]] = lev_buf[idx]
+        rk = rank_buf[rk_pos[i] + np.arange(nk2[i]) * rk_step[i]]
+        mu[r, :nk2[i]] = reg.mu_tabs[tab2[i]][rk]
+        sigma[r, :nk2[i]] = reg.sig_tabs[tab2[i]][rk]
+    packed, TP, B0, _, _ = _pack_hmm_inputs(
+        levels, nev2[sel].astype(np.int32), mu, sigma,
+        np.log(np.maximum(sigma, 1e-30)), nk2[sel].astype(np.int32),
+        epb2[sel], np.full(n, flags_val, np.int32), 1.0, kp=kp, r_min=64)
+    assert TP == tp
+
+    # native wire
+    from nanopolish_tpu.ops.pallas_profile_hmm import LOG_INV_SQRT_2PI
+    n_tabs = len(reg.mu_tabs)
+    S = max(len(t) for t in reg.mu_tabs)
+    tabs = np.zeros((3, n_tabs, S), np.float32)
+    for t, (mt, st) in enumerate(zip(reg.mu_tabs, reg.sig_tabs)):
+        sg = np.maximum(np.asarray(st, np.float32), 1e-30)
+        tabs[0, t, :len(mt)] = mt
+        tabs[1, t, :len(st)] = 1.0 / sg
+        tabs[2, t, :len(st)] = LOG_INV_SQRT_2PI - np.log(sg)
+    trans1 = _np_transitions(epb2, 1.0).astype(np.float32)
+    trans8 = np.ascontiguousarray(trans1)
+    clips = np.ascontiguousarray(
+        np.broadcast_to(np.array([1.0, 1.0], np.float32),
+                        (2 * G, 2)).copy())
+    trans_pad = np.ascontiguousarray(
+        _np_transitions(np.array([2.0], np.float32), 1.0)[0].astype(
+            np.float32))
+    B = packed.shape[0]
+    wire = np.empty((B, tp + 3 * kp + 12), np.float32)
+    asi = lambda a: np.ascontiguousarray(a, np.int64)
+    lib.build_hmm_wire(lev_buf, rank_buf, np.ascontiguousarray(tabs),
+                       asi(lev_pos), asi(estep2), asi(nev2), asi(rk_pos),
+                       asi(rk_step), asi(nk2), asi(tab2), trans8, clips,
+                       trans_pad, sel, B, tp, kp, -1.0e30, wire)
+    np.testing.assert_array_equal(wire.view(np.uint32),
+                                  packed.view(np.uint32))

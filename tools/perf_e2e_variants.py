@@ -100,7 +100,11 @@ def main():
                 import cProfile
                 pr = cProfile.Profile()
                 pr.enable()
+            from nanopolish_tpu.alignment.segments import ScoreBatcher
+            from nanopolish_tpu.utils import profiler
             from nanopolish_tpu.utils.syncstats import SYNC_STATS
+            mh0, mm0 = ScoreBatcher.MEMO_HITS, ScoreBatcher.MEMO_MISSES
+            prof0 = profiler.snapshot()
             with SYNC_STATS.capture() as snap:
                 t0 = time.perf_counter()
                 var_app.main(["-r", fastq, "-b", bam, "-g", draft_fa,
@@ -126,7 +130,13 @@ def main():
                 "planted_subs": len(subs), "recovered": recovered,
                 "n_calls": len(keys),
                 "host_s": round(dt - snap.blocked_s, 2),
-                **snap.as_dict()}), flush=True)
+                **snap.as_dict(),
+                "memo_hits": ScoreBatcher.MEMO_HITS - mh0,
+                "memo_misses": ScoreBatcher.MEMO_MISSES - mm0,
+                "stages": {k: round(v[1] - prof0.get(k, (0, 0.0))[1], 2)
+                           for k, v in profiler.snapshot().items()
+                           if v[1] - prof0.get(k, (0, 0.0))[1] > 0.01}}),
+                flush=True)
 
 
 if __name__ == "__main__":
