@@ -93,3 +93,50 @@ void npt_build_hmm_wire(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Compact "windows" wire: [B, KP+16] int32 — per-segment kmer ranks
+// plus a 16-slot tail (nev, nk, trans8+clips2 bitcast, lev_pos, estep,
+// tab, pad).  The level windows and table gathers happen ON DEVICE
+// (ops/pallas_profile_hmm._assemble_windows) from whole-read level rows
+// and per-read tables shipped once per batch — the flat wire shipped
+// TP + 3*KP + 12 floats per segment where the unique payload is
+// nk ints + 5 scalars (~6x h2d cut at call-methylation shapes).
+void npt_build_hmm_wire_compact(
+    const int32_t* rank_buf,
+    const int64_t* lev_pos, const int64_t* estep, const int64_t* nev,
+    const int64_t* rk_pos, const int64_t* rk_step, const int64_t* nk,
+    const int64_t* tab_id,
+    const float* trans8, const float* clips, const float* trans_pad,
+    const int64_t* sel, int64_t nsel, int64_t B, int64_t KP,
+    int32_t* wire) {                 // [B, KP+16], uninitialized
+    const int64_t W = KP + 16;
+    for (int64_t r = 0; r < B; ++r) {
+        int32_t* row = wire + r * W;
+        if (r >= nsel) {
+            std::memset(row, 0, (size_t)W * sizeof(int32_t));
+            row[KP] = 1;
+            row[KP + 1] = 1;
+            std::memcpy(row + KP + 2, trans_pad, 8 * sizeof(float));
+            row[KP + 13] = 1;        // estep
+            continue;
+        }
+        const int64_t i = sel[r];
+        const int64_t nkk = nk[i];
+        const int32_t* rsrc = rank_buf + rk_pos[i];
+        const int64_t rs = rk_step[i];
+        for (int64_t j = 0; j < nkk; ++j) row[j] = rsrc[j * rs];
+        std::memset(row + nkk, 0, (size_t)(KP - nkk) * sizeof(int32_t));
+        row[KP] = (int32_t)(nev[i] > 0 ? nev[i] : 1);
+        row[KP + 1] = (int32_t)(nkk > 0 ? nkk : 1);
+        std::memcpy(row + KP + 2, trans8 + i * 8, 8 * sizeof(float));
+        std::memcpy(row + KP + 10, clips + i * 2, 2 * sizeof(float));
+        row[KP + 12] = (int32_t)lev_pos[i];
+        row[KP + 13] = (int32_t)estep[i];
+        row[KP + 14] = (int32_t)tab_id[i];
+        row[KP + 15] = 0;
+    }
+}
+
+}  // extern "C"

@@ -595,6 +595,18 @@ def _forward_blocks_wire(lib, reg: _ScoreArrays, e1, estep, nev, ru_src,
 
     NEG = np.float32(-1.0e30)      # pallas_profile_hmm.NEG
     out = np.zeros(2 * G, np.float32)
+    # "windows" mode (default): ship the compact [B, KP+16] int32 wire
+    # and gather level windows + table rows ON DEVICE from whole-read
+    # rows/tables shipped once per batch — ~6x less h2d than the flat
+    # wire at methylation shapes.  NPT_METH_WIRE=1 keeps the flat wire.
+    windows_mode = (os.environ.get("NPT_METH_WIRE", "2") == "2"
+                    and lib._build_hmm_wire_compact is not None)
+    if windows_mode:
+        import jax.numpy as jnp
+
+        from ..ops.pallas_profile_hmm import _forward_windows_call
+        lev_dev = jnp.asarray(lev_buf)
+        tabs_dev = jnp.asarray(tabs.reshape(3, n_tabs * S))
     pending = []
     for (tp, kp), idxs in buckets.items():
         bytes_per_seg = 4 * (tp + 3 * kp + 12) + 16 * kp
@@ -605,12 +617,21 @@ def _forward_blocks_wire(lib, reg: _ScoreArrays, e1, estep, nev, ru_src,
             sel = asi(idxs[lo:lo + cap])
             B = 1 << int(np.ceil(np.log2(max(len(sel), 1))))
             B = max(B, 8)
-            wire = np.empty((B, tp + 3 * kp + 12), np.float32)
-            lib.build_hmm_wire(lev_buf, rank_buf, tabs, lev_pos, estep2,
-                               nev2, rk_pos, rk_step, nk2, tab2, trans8,
-                               clips, trans_pad, sel, B, tp, kp,
-                               float(NEG), wire)
-            dev = _profile_hmm_forward_call_packed(wire, tp)
+            if windows_mode:
+                wire_i = np.empty((B, kp + 16), np.int32)
+                lib.build_hmm_wire_compact(
+                    rank_buf, lev_pos, estep2, nev2, rk_pos, rk_step,
+                    nk2, tab2, trans8, clips, trans_pad, sel, B, kp,
+                    wire_i)
+                dev = _forward_windows_call(wire_i, lev_dev, tabs_dev,
+                                            tp, kp, S)
+            else:
+                wire = np.empty((B, tp + 3 * kp + 12), np.float32)
+                lib.build_hmm_wire(lev_buf, rank_buf, tabs, lev_pos,
+                                   estep2, nev2, rk_pos, rk_step, nk2,
+                                   tab2, trans8, clips, trans_pad, sel, B,
+                                   tp, kp, float(NEG), wire)
+                dev = _profile_hmm_forward_call_packed(wire, tp)
             pending.append((sel, dev, len(sel)))
     cat = jnp.concatenate([dev[:b, 0] for _, dev, b in pending]) \
         if len(pending) > 1 else pending[0][1][:pending[0][2], 0]

@@ -355,6 +355,50 @@ def _profile_hmm_viterbi_call_packed(packed, TP):
     return _profile_hmm_viterbi_call(*_unpack_hmm_inputs(packed, TP))
 
 
+@functools.partial(jax.jit, static_argnames=("TP", "KP", "S"))
+def _assemble_windows(wire_i, lev_buf, tabs_flat, TP, KP, S):
+    """Device-side assembly of the flat packed wire from the compact
+    'windows' wire (csrc npt_build_hmm_wire_compact layout): level
+    windows gather from whole-read rows, a/b2/c0 gather from per-read
+    tables.  f32-identical to _pack_hmm_inputs over the host-gathered
+    matrices (b2 = mu*inv is the same f32 product; everything else is
+    value copies) — pinned by tests."""
+    ranks = wire_i[:, :KP]
+    nev = wire_i[:, KP]
+    nk = wire_i[:, KP + 1]
+    trans_clips = jax.lax.bitcast_convert_type(
+        wire_i[:, KP + 2:KP + 12], jnp.float32)
+    lev_pos = wire_i[:, KP + 12]
+    estep = wire_i[:, KP + 13]
+    tab = wire_i[:, KP + 14]
+
+    ti = jnp.arange(TP, dtype=jnp.int32)
+    tidx = lev_pos[:, None] + ti[None, :] * estep[:, None]
+    tmask = ti[None, :] < nev[:, None]
+    levels = jnp.where(
+        tmask, lev_buf[jnp.clip(tidx, 0, lev_buf.shape[0] - 1)], 0.0)
+    ki = jnp.arange(KP, dtype=jnp.int32)
+    kmask = ki[None, :] < nk[:, None]
+    fidx = tab[:, None] * S + ranks        # padded ranks are 0: in-range
+    mu = tabs_flat[0][fidx]
+    inv = tabs_flat[1][fidx]
+    c0v = tabs_flat[2][fidx]
+    a = jnp.where(kmask, inv, jnp.float32(0.0))
+    b2 = jnp.where(kmask, mu * inv, jnp.float32(0.0))
+    c0 = jnp.where(kmask, c0v, jnp.float32(NEG))
+    tail = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(nev[:, None], jnp.float32),
+         jax.lax.bitcast_convert_type(nk[:, None], jnp.float32),
+         trans_clips], axis=1)
+    return jnp.concatenate([levels, a, b2, c0, tail], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("TP", "KP", "S"))
+def _forward_windows_call(wire_i, lev_buf, tabs_flat, TP, KP, S):
+    packed = _assemble_windows(wire_i, lev_buf, tabs_flat, TP, KP, S)
+    return _profile_hmm_forward_call(*_unpack_hmm_inputs(packed, TP))
+
+
 def profile_hmm_forward_pallas(levels, n_events, mu, sigma, log_sigma,
                                n_kmers, events_per_base, flags,
                                indel_bias: float = 1.0) -> np.ndarray:

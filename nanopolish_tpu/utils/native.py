@@ -83,6 +83,19 @@ class NativeLib:
                 i64_, i64_, ctypes.c_float,
                 pf_,
             ]
+        self._build_hmm_wire_compact = getattr(
+            cdll, "npt_build_hmm_wire_compact", None)
+        if self._build_hmm_wire_compact is not None:
+            wc = self._build_hmm_wire_compact
+            wc.restype = None
+            wc.argtypes = [
+                p32_,
+                p64_, p64_, p64_,
+                p64_, p64_, p64_, p64_,
+                pf_, pf_, pf_,
+                p64_, i64_, i64_, i64_,
+                p32_,
+            ]
         self._meth_geometry = getattr(cdll, "npt_meth_geometry", None)
         if self._meth_geometry is not None:
             m = self._meth_geometry
@@ -120,6 +133,23 @@ class NativeLib:
             clips.ctypes.data_as(pf), trans_pad.ctypes.data_as(pf),
             sel.ctypes.data_as(p64), len(sel), B, TP, KP,
             ctypes.c_float(neg), wire.ctypes.data_as(pf))
+
+    def build_hmm_wire_compact(self, rank_buf, lev_pos, estep, nev,
+                               rk_pos, rk_step, nk, tab_id, trans8, clips,
+                               trans_pad, sel, B, KP, wire):
+        """Fill one compact 'windows' wire chunk ([B, KP+16] int32)."""
+        pf = ctypes.POINTER(ctypes.c_float)
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        self._build_hmm_wire_compact(
+            rank_buf.ctypes.data_as(p32),
+            lev_pos.ctypes.data_as(p64), estep.ctypes.data_as(p64),
+            nev.ctypes.data_as(p64), rk_pos.ctypes.data_as(p64),
+            rk_step.ctypes.data_as(p64), nk.ctypes.data_as(p64),
+            tab_id.ctypes.data_as(p64), trans8.ctypes.data_as(pf),
+            clips.ctypes.data_as(pf), trans_pad.ctypes.data_as(pf),
+            sel.ctypes.data_as(p64), len(sel), B, KP,
+            wire.ctypes.data_as(p32))
 
     def format_eventalign_rows(self, ref_name: str, who: str,
                                strand_ch: str, seq: str, rcq: str, rc: bool,

@@ -440,25 +440,21 @@ def test_native_path_tsv_parity_straddle(tmp_path, monkeypatch):
     assert len(outs["1"].splitlines()) > 10
 
 
-def test_native_wire_builder_matches_pack(meth_pipeline):
-    """csrc/hmm_wire.cpp must produce byte-identical packed wire rows to
-    _pack_hmm_inputs over the gathered matrices (the f32 contract the
-    TPU wire path rides)."""
+def _wire_test_inputs(meth_pipeline):
+    """Shared fixture machinery for the wire byte-equality tests:
+    returns every input plus the reference flat wire from
+    _pack_hmm_inputs."""
     from nanopolish_tpu.apps.call_methylation import (
         CallingParameters, _ScoreArrays, collect_read_tasks_native)
     from nanopolish_tpu.apps.bam_processor import BamBatchProcessor
     from nanopolish_tpu.io.fasta import FastaIndex
     from nanopolish_tpu.io.readdb import ReadDB
     from nanopolish_tpu.models.read_loader import load_squiggle_reads
-    from nanopolish_tpu.ops.pallas_profile_hmm import (_np_transitions,
+    from nanopolish_tpu.ops.pallas_profile_hmm import (LOG_INV_SQRT_2PI,
+                                                      _np_transitions,
                                                       _pack_hmm_inputs)
-    from nanopolish_tpu.ops.profile_hmm import (HAF_ALLOW_POST_CLIP,
-                                                HAF_ALLOW_PRE_CLIP)
     from nanopolish_tpu.utils.alphabet import DNA_ALPHABET
-    from nanopolish_tpu.utils.native import get_native_lib
 
-    lib = get_native_lib()
-    assert lib is not None and lib._build_hmm_wire is not None
     p = meth_pipeline
     read_db = ReadDB()
     read_db.load(p["fastq"])
@@ -496,8 +492,6 @@ def test_native_wire_builder_matches_pack(meth_pipeline):
                     sizes)
     G = len(e1)
 
-    # reference wire via the numpy gather + pack path
-    from nanopolish_tpu.alignment.segments import segment_levels
     lev_off = np.concatenate(
         [[0], np.cumsum([len(a) for a in reg.lev_rows])])[:-1]
     lev_buf = np.ascontiguousarray(np.concatenate(reg.lev_rows),
@@ -507,9 +501,6 @@ def test_native_wire_builder_matches_pack(meth_pipeline):
     rank_buf = np.ascontiguousarray(
         np.concatenate([np.asarray(a).ravel() for a in reg.rank_rows]),
         np.int32)
-    flags_val = HAF_ALLOW_PRE_CLIP | HAF_ALLOW_POST_CLIP
-    # take the first bucket (tp, kp) the wire path would form, both
-    # halves (unmeth + meth)
     lev_pos = np.tile(lev_off[lev_id] + e1, 2)
     estep2, nev2 = np.tile(estep, 2), np.tile(nev, 2)
     rk_pos = np.concatenate([rank_off[ru_src] + ru_start,
@@ -538,11 +529,9 @@ def test_native_wire_builder_matches_pack(meth_pipeline):
     packed, TP, B0, _, _ = _pack_hmm_inputs(
         levels, nev2[sel].astype(np.int32), mu, sigma,
         np.log(np.maximum(sigma, 1e-30)), nk2[sel].astype(np.int32),
-        epb2[sel], np.full(n, flags_val, np.int32), 1.0, kp=kp, r_min=64)
+        epb2[sel], np.full(n, 3, np.int32), 1.0, kp=kp, r_min=64)
     assert TP == tp
 
-    # native wire
-    from nanopolish_tpu.ops.pallas_profile_hmm import LOG_INV_SQRT_2PI
     n_tabs = len(reg.mu_tabs)
     S = max(len(t) for t in reg.mu_tabs)
     tabs = np.zeros((3, n_tabs, S), np.float32)
@@ -559,12 +548,66 @@ def test_native_wire_builder_matches_pack(meth_pipeline):
     trans_pad = np.ascontiguousarray(
         _np_transitions(np.array([2.0], np.float32), 1.0)[0].astype(
             np.float32))
+    return (reg, lev_buf, rank_buf, np.ascontiguousarray(tabs), lev_pos,
+            np.ascontiguousarray(estep2), np.ascontiguousarray(nev2),
+            np.ascontiguousarray(rk_pos), np.ascontiguousarray(rk_step),
+            np.ascontiguousarray(nk2), np.ascontiguousarray(tab2),
+            trans8, clips, trans_pad, sel, tp, kp, packed)
+
+
+def test_native_wire_builder_matches_pack(meth_pipeline):
+    """csrc/hmm_wire.cpp must produce byte-identical packed wire rows to
+    _pack_hmm_inputs over the gathered matrices (the f32 contract the
+    TPU wire path rides)."""
+    from nanopolish_tpu.utils.native import get_native_lib
+
+    lib = get_native_lib()
+    assert lib is not None and lib._build_hmm_wire is not None
+    (reg, lev_buf, rank_buf, tabs, lev_pos, estep2, nev2, rk_pos, rk_step,
+     nk2, tab2, trans8, clips, trans_pad, sel, tp, kp, packed) = \
+        _wire_test_inputs(meth_pipeline)
     B = packed.shape[0]
     wire = np.empty((B, tp + 3 * kp + 12), np.float32)
-    asi = lambda a: np.ascontiguousarray(a, np.int64)
-    lib.build_hmm_wire(lev_buf, rank_buf, np.ascontiguousarray(tabs),
-                       asi(lev_pos), asi(estep2), asi(nev2), asi(rk_pos),
-                       asi(rk_step), asi(nk2), asi(tab2), trans8, clips,
+    lib.build_hmm_wire(lev_buf, rank_buf, tabs, lev_pos, estep2, nev2,
+                       rk_pos, rk_step, nk2, tab2, trans8, clips,
                        trans_pad, sel, B, tp, kp, -1.0e30, wire)
     np.testing.assert_array_equal(wire.view(np.uint32),
                                   packed.view(np.uint32))
+
+
+def test_windows_wire_assembly_matches_pack(meth_pipeline):
+    """The compact 'windows' wire + device-side _assemble_windows must
+    reproduce _pack_hmm_inputs' flat wire bit-for-bit (levels window
+    gather, table gathers, b2 = mu*inv, tail layout)."""
+    import jax.numpy as jnp
+
+    from nanopolish_tpu.ops.pallas_profile_hmm import _assemble_windows
+    from nanopolish_tpu.utils.native import get_native_lib
+
+    lib = get_native_lib()
+    assert lib._build_hmm_wire_compact is not None
+    # reuse the flat-wire fixture machinery: rebuild the same inputs
+    env = _wire_test_inputs(meth_pipeline)
+    (reg, lev_buf, rank_buf, tabs, lev_pos, estep2, nev2, rk_pos, rk_step,
+     nk2, tab2, trans8, clips, trans_pad, sel, tp, kp, packed) = env
+    B = packed.shape[0]
+    S = tabs.shape[2]
+    wire_i = np.empty((B, kp + 16), np.int32)
+    lib.build_hmm_wire_compact(rank_buf, lev_pos, estep2, nev2, rk_pos,
+                               rk_step, nk2, tab2, trans8, clips,
+                               trans_pad, sel, B, kp, wire_i)
+    assembled = np.asarray(_assemble_windows(
+        wire_i, jnp.asarray(lev_buf),
+        jnp.asarray(np.ascontiguousarray(tabs.reshape(3, -1))),
+        tp, kp, S))
+    n = len(sel)
+    # real rows byte-identical; padding rows differ only in their
+    # (discarded, row-independent) level/table cells — their tails
+    # (nev=1, nk=1, default transitions) must still match so the kernel
+    # control flow is identical
+    np.testing.assert_array_equal(assembled[:n].view(np.uint32),
+                                  packed[:n].view(np.uint32))
+    W = packed.shape[1]
+    np.testing.assert_array_equal(
+        assembled[n:, W - 12:].view(np.uint32),
+        packed[n:, W - 12:].view(np.uint32))
