@@ -106,11 +106,41 @@ def generate_methylated_alternatives(sequence: str,
     return out
 
 
+def _job_total_memo(alignments) -> dict:
+    """Per-region persistent job-total memo (reset with load_region,
+    like score_memo)."""
+    m = getattr(alignments, "_job_total_memo", None)
+    if m is None or getattr(alignments, "_job_memo_region", None) != \
+            (alignments.get_region_contig(), alignments.get_region_start(),
+             alignments.get_region_end()):
+        m = {}
+        alignments._job_total_memo = m
+        alignments._job_memo_region = (
+            alignments.get_region_contig(), alignments.get_region_start(),
+            alignments.get_region_end())
+    return m
+
+
+def _events_memo_key(events) -> tuple:
+    """Identity of an event-sequence list for the job-total memo (the
+    EventSequence objects are rebuilt every polishing round but describe
+    the same deterministic (read, strand, range) slices)."""
+    frags = []
+    for d in events:
+        dk = getattr(d, "_memo_frag", None)
+        if dk is None:
+            dk = d._memo_frag = (d.sr.read_name, d.strand, d.rc,
+                                 d.event_start_idx, d.event_stop_idx)
+        frags.append(dk)
+    return tuple(frags)
+
+
 def score_variants_batched(variant_jobs, methylation_types,
                            indel_bias: float = 1.0,
                            memo: Optional[dict] = None,
                            screen_threshold: Optional[float] = None,
-                           chunk_reads: int = 8) -> List[float]:
+                           chunk_reads: int = 8,
+                           total_memo: Optional[dict] = None) -> List[float]:
     """Each job: (base_haplotype, variant, event_sequences).  Returns the
     summed (variant - base) score over reads per job.
 
@@ -141,8 +171,26 @@ def score_variants_batched(variant_jobs, methylation_types,
 
     n_jobs = len(prepared)
     totals = np.full(n_jobs, float("-inf"))
-    alive = [ji for ji, p in enumerate(prepared) if p is not None]
-    totals[alive] = 0.0
+    # job-total memo: the polishing loop re-screens the same candidates
+    # over the same (fixed) region reads every round, and the job total
+    # (incl. its deterministic truncation point) depends only on the
+    # inputs — a hit skips the job's device AND host work entirely
+    job_keys: List[Optional[tuple]] = [None] * n_jobs
+    alive = []
+    for ji, p in enumerate(prepared):
+        if p is None:
+            continue
+        if total_memo is not None:
+            base_seqs, var_seqs, events, base_key, var_key = p
+            k = (base_key, var_key, _events_memo_key(events),
+                 screen_threshold, chunk_reads, indel_bias)
+            hit = total_memo.get(k)
+            if hit is not None:
+                totals[ji] = hit
+                continue
+            job_keys[ji] = k
+        alive.append(ji)
+        totals[ji] = 0.0
     max_events = max((len(p[2]) for p in prepared if p is not None),
                      default=0)
     # geometric chunk schedule: most screening candidates are losers
@@ -174,6 +222,10 @@ def score_variants_batched(variant_jobs, methylation_types,
                 break
         lo += step
         step *= 2
+    if total_memo is not None:
+        for ji, k in enumerate(job_keys):
+            if k is not None:
+                total_memo[k] = totals[ji]
     return totals.tolist()
 
 
@@ -223,7 +275,8 @@ def generate_candidate_single_base_edits(alignments: AlignmentDB,
     scores = score_variants_batched(
         jobs, opts.methylation_types, opts.indel_bias,
         memo=alignments.score_memo,
-        screen_threshold=opts.screen_score_threshold)
+        screen_threshold=opts.screen_score_threshold,
+        total_memo=_job_total_memo(alignments))
     out = []
     for (hap, v, events), q in zip(jobs, scores):
         if q > 0:
@@ -257,7 +310,8 @@ def screen_variants_by_score(alignments: AlignmentDB,
     scores = score_variants_batched(
         jobs, opts.methylation_types, opts.indel_bias,
         memo=alignments.score_memo,
-        screen_threshold=opts.screen_score_threshold)
+        screen_threshold=opts.screen_score_threshold,
+        total_memo=_job_total_memo(alignments))
     out = []
     for v, q in zip(kept, scores):
         if q > 0:
