@@ -94,10 +94,14 @@ def main():
     # synthetic corpus is far below the reference's 1000-events/kmer cap;
     # lower the train threshold like tests/test_methyltrain_e2e.py does
     mt_app.MIN_NUMBER_OF_EVENTS_TO_TRAIN = 15
+    from nanopolish_tpu.utils.syncstats import SYNC_STATS
+    _snap_ctx = SYNC_STATS.capture()
+    snap = _snap_ctx.__enter__()
     t0 = time.perf_counter()
     mt_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-m", fofn,
                  "--rounds", str(ROUNDS), "--no-write-models"])
     dt = time.perf_counter() - t0
+    _snap_ctx.__exit__(None, None, None)
 
     trained = pms.get_model("r9.4_450bps", "cpg", "template", 6)
     summary = open("methyltrain.summary").read().splitlines()
@@ -108,6 +112,8 @@ def main():
         float(true_cpg.level_mean[true_cpg.alphabet.kmer_rank(km, 6)]))
         for km in trained_kmers]
     print(json.dumps({
+        "host_s": round(dt - snap.blocked_s, 2),
+        **snap.as_dict(),
         "reads": N_READS, "rounds": ROUNDS, "s": round(dt, 1),
         "read_rounds_per_s": round(N_READS * ROUNDS / dt, 2),
         "m_kmers_trained": len(trained_kmers),

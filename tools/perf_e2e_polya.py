@@ -96,18 +96,22 @@ def main():
 
     with tempfile.TemporaryDirectory() as d:
         fastq, bam, ref_fa = build_corpus(d)
+        from nanopolish_tpu.utils.syncstats import SYNC_STATS
         for tag in ("cold", "warm"):
             out = io.StringIO()
-            t0 = time.perf_counter()
-            polya_app.main(["-r", fastq, "-b", bam, "-g", ref_fa],
-                           stdout=out)
-            dt = time.perf_counter() - t0
+            with SYNC_STATS.capture() as snap:
+                t0 = time.perf_counter()
+                polya_app.main(["-r", fastq, "-b", bam, "-g", ref_fa],
+                               stdout=out)
+                dt = time.perf_counter() - t0
             rows = [l.split("\t") for l in out.getvalue().splitlines()[1:]]
             tails = [float(f[8]) for f in rows if f[9] == "PASS"]
             print(json.dumps({
                 "pass": tag, "reads": N_READS, "s": round(dt, 1),
                 "reads_per_s": round(N_READS / dt, 2),
                 "n_pass": len(tails),
+                "host_s": round(dt - snap.blocked_s, 2),
+                **snap.as_dict(),
                 "tail_nt_mean": round(float(np.mean(tails)), 1)
                 if tails else None,
                 "planted_nt": POLYA_NT}), flush=True)
