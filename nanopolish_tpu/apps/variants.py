@@ -135,6 +135,233 @@ def _events_memo_key(events) -> tuple:
     return tuple(frags)
 
 
+def score_variants_batched_arrays(variant_jobs, indel_bias: float = 1.0,
+                                  screen_threshold: Optional[float] = None,
+                                  chunk_reads: int = 8,
+                                  total_memo: Optional[dict] = None
+                                  ) -> Optional[List[float]]:
+    """Array-mode score_variants_batched for single-sequence scoring
+    sets (no methylation alternatives) over FRESH haplotypes: the
+    per-unit ScoreBatcher loops (~10-20 us of host Python per unit at
+    50 kb screening volume) are replaced by vectorized construction of
+    the indexed-wire inputs.  Semantics match score_variants_batched:
+    same chunk schedule, same early-exit checkpoints, same f64
+    accumulation order — on the CPU flat kernel the totals are
+    bit-identical (tests); on TPU the packed drain's lane packing can
+    differ in last-ulp like the existing drains do.  Returns None when
+    a job's haplotype is not a fresh reference substring (caller falls
+    back to the object path)."""
+    import jax
+
+    from ..alignment.segments import _model_tables, read_drift_levels
+    from ..ops.pallas_profile_hmm import _np_transitions, forward_packed
+    from ..utils.alphabet import DNA_ALPHABET
+
+    n_jobs = len(variant_jobs)
+    totals = np.full(n_jobs, float("-inf"))
+    if n_jobs == 0:
+        return totals.tolist()
+
+    k = 6
+    # ---- registries ----
+    seq_rows: Dict[str, int] = {}
+    seq_list: List[str] = []
+    ev_rows: Dict[tuple, int] = {}
+    ev_list: List[tuple] = []           # (sr, strand, rc, e1, e2)
+    tab_rows: Dict[tuple, int] = {}
+    tab_list: List[tuple] = []          # (sr, strand)
+    evlist_ids: Dict[int, np.ndarray] = {}   # id(events) -> ev row ids
+
+    def seq_row(s: str) -> int:
+        r = seq_rows.get(s)
+        if r is None:
+            r = seq_rows[s] = len(seq_list)
+            seq_list.append(s)
+        return r
+
+    def ev_row(d) -> int:
+        dk = getattr(d, "_memo_frag", None)
+        if dk is None:
+            dk = d._memo_frag = (d.sr.read_name, d.strand, d.rc,
+                                 d.event_start_idx, d.event_stop_idx)
+        r = ev_rows.get(dk)
+        if r is None:
+            r = ev_rows[dk] = len(ev_list)
+            ev_list.append(d)
+        return r
+
+    # ---- per-job prep (fresh-haplotype string surgery mirroring
+    # Haplotype.apply_variant on identity coordinate maps) ----
+    job_base = np.full(n_jobs, -1, np.int64)
+    job_var = np.full(n_jobs, -1, np.int64)
+    job_evlist: List[Optional[np.ndarray]] = [None] * n_jobs
+    job_keys: List[Optional[tuple]] = [None] * n_jobs
+    alive: List[int] = []
+    for ji, (hap, v, events) in enumerate(variant_jobs):
+        base_seq = hap.sequence
+        if base_seq != hap.reference:
+            return None                 # not a fresh hap: object path
+        di = v.ref_position - hap.ref_position
+        rl_ = len(v.ref_seq)
+        if di < 0 or di + rl_ > len(base_seq) or \
+                base_seq[di:di + rl_] != v.ref_seq:
+            continue                    # apply_variant failure: -inf
+        var_seq = base_seq[:di] + v.alt_seq + base_seq[di + rl_:]
+        eid = id(events)
+        rows = evlist_ids.get(eid)
+        if rows is None:
+            rows = evlist_ids[eid] = np.array(
+                [ev_row(d) for d in events], np.int64)
+        if total_memo is not None:
+            kkey = (((base_seq, "nucleotide"),),
+                    ((var_seq, "nucleotide"),),
+                    _events_memo_key(events),
+                    screen_threshold, chunk_reads, indel_bias)
+            hit = total_memo.get(kkey)
+            if hit is not None:
+                totals[ji] = hit
+                continue
+            job_keys[ji] = kkey
+        job_base[ji] = seq_row(base_seq)
+        job_var[ji] = seq_row(var_seq)
+        job_evlist[ji] = rows
+        totals[ji] = 0.0
+        alive.append(ji)
+    if not alive:
+        return totals.tolist()
+
+    # ---- unique event rows: levels via one windowed gather ----
+    E = len(ev_list)
+    lev_srcs: Dict[tuple, int] = {}
+    lev_bufs: List[np.ndarray] = []
+    lev_id = np.empty(E, np.int64)
+    e1 = np.empty(E, np.int64)
+    estep = np.empty(E, np.int64)
+    nev = np.empty(E, np.int64)
+    tab_of_ev = np.empty(E, np.int64)
+    for r, d in enumerate(ev_list):
+        key = (id(d.sr), d.strand)
+        li = lev_srcs.get(key)
+        if li is None:
+            li = lev_srcs[key] = len(lev_bufs)
+            lev_bufs.append(read_drift_levels(d.sr, d.strand))
+            tab_rows[key] = len(tab_list)
+            tab_list.append(d)
+        lev_id[r] = li
+        tab_of_ev[r] = tab_rows[key]
+        e1[r] = d.event_start_idx
+        estep[r] = 1 if d.event_stop_idx >= d.event_start_idx else -1
+        nev[r] = abs(d.event_stop_idx - d.event_start_idx) + 1
+    lev_off = np.concatenate(
+        [[0], np.cumsum([len(a) for a in lev_bufs])])[:-1]
+    lev_buf = np.concatenate(lev_bufs + [np.zeros(1, np.float32)])
+    sent = len(lev_buf) - 1
+    Tc = int(nev.max())
+    art = np.arange(Tc, dtype=np.int64)[None, :]
+    t_idx = lev_off[lev_id][:, None] + e1[:, None] + art * estep[:, None]
+    t_idx = np.where(art < nev[:, None], t_idx, sent)
+    levels_u = lev_buf[t_idx].astype(np.float32)
+    n_ev_u = nev.astype(np.int32)
+
+    # ---- unique sequence rank rows via one concatenated rank pass ----
+    U = len(seq_list)
+    lens = np.array([len(s) for s in seq_list], np.int64)
+    pad = k                             # >= k-1 separator kills bleed
+    starts = np.concatenate([[0], np.cumsum(lens + pad)])[:-1]
+    big = ("A" * pad).join(seq_list) + "A" * pad
+    big_ranks = DNA_ALPHABET.seq_to_kmer_ranks(big, k)
+    n_km_u = (lens - k + 1).astype(np.int32)
+    Kc = int(n_km_u.max())
+    akc = np.arange(Kc, dtype=np.int64)[None, :]
+    ridx = np.minimum(starts[:, None] + akc, len(big_ranks) - 1)
+    rank_mat = np.where(akc < n_km_u[:, None], big_ranks[ridx],
+                        0).astype(np.int32)
+
+    # ---- tables + transitions per (read, strand) ----
+    R = len(tab_list)
+    S = max(len(d.sr.base_model[d.strand].level_mean) for d in tab_list)
+    tabs = np.zeros((3, R, S), np.float32)
+    tabs[1] += 1.0
+    trans_u = np.empty((R, 8), np.float32)
+    epb_arr = np.empty(R, np.float32)
+    for t, d in enumerate(tab_list):
+        model = d.sr.base_model[d.strand]
+        mu_t, sig_t = _model_tables(d.sr, d.strand, model)
+        tabs[0, t, :len(mu_t)] = mu_t
+        tabs[1, t, :len(sig_t)] = sig_t
+        tabs[2, t, :len(sig_t)] = np.log(np.maximum(sig_t, 1e-30))
+        epb_arr[t] = float(d.sr.events_per_base[d.strand])
+    trans_u = _np_transitions(epb_arr, indel_bias).astype(np.float32)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+
+    def score_ids(ids):
+        flags = np.full(ids.shape[0], ALIGNMENT_FLAGS, np.int32)
+        if on_tpu:
+            return forward_packed(levels_u, n_ev_u, tabs, rank_mat,
+                                  n_km_u, trans_u, ids, flags)
+        # CPU flat path (scan kernels), matching _score_pending off-TPU
+        from ..alignment.segments import forward_arrays
+        nn = ids.shape[0]
+        rk = rank_mat[ids[:, 2]]
+        nkm = n_km_u[ids[:, 2]]
+        kv = np.arange(rk.shape[1])[None, :] < nkm[:, None]
+        mu_m = np.where(kv, tabs[0][ids[:, 1][:, None], rk], 0.0)
+        sg_m = np.where(kv, tabs[1][ids[:, 1][:, None], rk], 1.0)
+        return forward_arrays(levels_u[ids[:, 0]], n_ev_u[ids[:, 0]],
+                              mu_m.astype(np.float32),
+                              sg_m.astype(np.float32), nkm,
+                              epb_arr[ids[:, 3]], flags,
+                              indel_bias=indel_bias)
+
+    # ---- geometric chunk loop (same schedule + accumulation order as
+    # the object path) ----
+    max_events = max(len(job_evlist[ji]) for ji in alive)
+    lo = 0
+    step = max(1, chunk_reads // 2) if screen_threshold is not None \
+        else max(max_events, 1)
+    alive_arr = np.asarray(alive, np.int64)
+    while lo < max_events and alive_arr.size:
+        parts = []
+        jis = []
+        for ji in alive_arr.tolist():
+            rows = job_evlist[ji][lo:lo + step]
+            if rows.size:
+                parts.append(rows)
+                jis.append(np.full(rows.size, ji, np.int64))
+        if not parts:
+            break
+        evc = np.concatenate(parts)
+        jic = np.concatenate(jis)
+        tabc = tab_of_ev[evc]
+        # the ~9 edits at a position share the base haplotype: score
+        # each unique (event row, base sequence) once (the object
+        # path's in-flight dedup), then broadcast via the inverse map
+        base_pairs = evc * (len(seq_list) + 1) + job_base[jic]
+        uniq_b, inv_b = np.unique(base_pairs, return_inverse=True)
+        ub_ev = uniq_b // (len(seq_list) + 1)
+        ub_seq = uniq_b % (len(seq_list) + 1)
+        ub_tab = tab_of_ev[ub_ev]
+        ids_base = np.stack([ub_ev, ub_tab, ub_seq, ub_tab],
+                            axis=1).astype(np.int32)
+        ids_var = np.stack([evc, tabc, job_var[jic], tabc],
+                           axis=1).astype(np.int32)
+        s_all = score_ids(np.concatenate([ids_base, ids_var]))
+        nub = len(uniq_b)
+        delta = s_all[nub:] - s_all[:nub][inv_b]
+        np.add.at(totals, jic, delta)
+        if screen_threshold is not None:
+            keep = totals[alive_arr] > -screen_threshold
+            alive_arr = alive_arr[keep]
+        lo += step
+        step *= 2
+    if total_memo is not None:
+        for ji, kk in enumerate(job_keys):
+            if kk is not None:
+                total_memo[kk] = totals[ji]
+    return totals.tolist()
+
+
 def score_variants_batched(variant_jobs, methylation_types,
                            indel_bias: float = 1.0,
                            memo: Optional[dict] = None,
@@ -233,6 +460,25 @@ def score_variants_batched(variant_jobs, methylation_types,
 # candidate generation / screening / expansion
 # ---------------------------------------------------------------------------
 
+def _screen_scores(jobs, alignments, opts) -> List[float]:
+    """Screening dispatcher: the array path for plain nucleotide scoring
+    over fresh haplotypes (vectorized wire construction), the object
+    path otherwise (methylation alternatives, derived haplotypes)."""
+    if not opts.methylation_types and \
+            os.environ.get("NPT_VAR_ARRAY", "1") != "0":
+        scores = score_variants_batched_arrays(
+            jobs, opts.indel_bias,
+            screen_threshold=opts.screen_score_threshold,
+            total_memo=_job_total_memo(alignments))
+        if scores is not None:
+            return scores
+    return score_variants_batched(
+        jobs, opts.methylation_types, opts.indel_bias,
+        memo=alignments.score_memo,
+        screen_threshold=opts.screen_score_threshold,
+        total_memo=_job_total_memo(alignments))
+
+
 def generate_candidate_single_base_edits(alignments: AlignmentDB,
                                          region_start: int, region_end: int,
                                          opts: Opts) -> List[Variant]:
@@ -272,11 +518,7 @@ def generate_candidate_single_base_edits(alignments: AlignmentDB,
                             contig, calling_start, calling_end))
         for v in tmp:
             jobs.append((hap, v, events))
-    scores = score_variants_batched(
-        jobs, opts.methylation_types, opts.indel_bias,
-        memo=alignments.score_memo,
-        screen_threshold=opts.screen_score_threshold,
-        total_memo=_job_total_memo(alignments))
+    scores = _screen_scores(jobs, alignments, opts)
     out = []
     for (hap, v, events), q in zip(jobs, scores):
         if q > 0:
@@ -307,11 +549,7 @@ def screen_variants_by_score(alignments: AlignmentDB,
                                                    calling_end)
         jobs.append((hap, v, events))
         kept.append(v)
-    scores = score_variants_batched(
-        jobs, opts.methylation_types, opts.indel_bias,
-        memo=alignments.score_memo,
-        screen_threshold=opts.screen_score_threshold,
-        total_memo=_job_total_memo(alignments))
+    scores = _screen_scores(jobs, alignments, opts)
     out = []
     for v, q in zip(kept, scores):
         if q > 0:

@@ -389,3 +389,37 @@ def test_screening_dip_recovery_vs_reference(screening_corpus):
             # checkpoints skipped the dip: full exact quality survives
             assert np.isclose(got, exact, rtol=0, atol=1e-5)
             assert got > 0
+
+
+def test_array_screening_matches_object_path(screening_corpus):
+    """score_variants_batched_arrays must reproduce the object path's
+    totals bitwise on the CPU flat kernel — with and without the
+    screening threshold, across chunkings."""
+    from nanopolish_tpu.apps.variants import (score_variants_batched,
+                                              score_variants_batched_arrays)
+
+    hap, events, true_var, bogus_var, deltas = \
+        _screening_setup(screening_corpus)
+    jobs = [(hap, true_var, events), (hap, bogus_var, events)]
+    # add a failing job (ref mismatch) to exercise the -inf path
+    bad = var_app.Variant(ref_name="tig1",
+                          ref_position=true_var.ref_position,
+                          ref_seq="A" if true_var.ref_seq != "A" else "C",
+                          alt_seq="G")
+    if bad.ref_seq == hap.sequence[
+            bad.ref_position - hap.ref_position]:
+        bad = var_app.Variant(ref_name="tig1",
+                              ref_position=true_var.ref_position,
+                              ref_seq="T" if hap.sequence[
+                                  bad.ref_position - hap.ref_position]
+                              != "T" else "G", alt_seq="A")
+    jobs.append((hap, bad, events))
+    for thr in (None, 25.0, 100.0):
+        for ck in (2, 8):
+            obj = score_variants_batched(jobs, [], screen_threshold=thr,
+                                         chunk_reads=ck)
+            arr = score_variants_batched_arrays(jobs,
+                                                screen_threshold=thr,
+                                                chunk_reads=ck)
+            assert arr is not None
+            assert obj == arr, (thr, ck, obj, arr)

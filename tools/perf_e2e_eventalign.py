@@ -95,7 +95,9 @@ def check_sync_ceiling(snap):
     # overlap, so the count scales with waves while the wall does not)
     # + the ingest fetches; a sync-per-chunk regression trips this even
     # in a fast tunnel (VERDICT r3 #6)
-    rounds = (READ_LEN // 50) + 20
+    # rounds/read ~= kept rows / OUTPUT_STRIDE; kept rows track the
+    # event count (~2/base at synthetic noise), not the base count
+    rounds = (2 * READ_LEN) // 50 + 24
     waves = 8
     ceiling = rounds * waves + 4 * ((N_READS + 63) // 64) + 16
     if snap.sync_count > ceiling:

@@ -173,10 +173,14 @@ def main():
                           "sites": n_sites, "s": round(best, 1),
                           "sites_per_s": round(n_sites / best, 1),
                           "reads_per_s": round(N_READS / best, 2),
-                          "host_s": round(best - best_snap.blocked_s, 2),
-                          "host_sites_per_s": round(
-                              n_sites / max(best - best_snap.blocked_s,
-                                            1e-9), 1),
+                          # blocked_s sums across fetch worker threads,
+                          # so overlapped fetches can exceed wall; clamp
+                          "host_s": round(
+                              max(best - best_snap.blocked_s, 0.0), 2),
+                          "host_sites_per_s": (round(
+                              n_sites / (best - best_snap.blocked_s), 1)
+                              if best - best_snap.blocked_s > 0.05
+                              else None),
                           **best_snap.as_dict(),
                           "stages": getattr(best_snap, "stages", {})}),
               flush=True)
