@@ -1,0 +1,414 @@
+"""eventalign's segment chain ON DEVICE: one dispatch for the whole read.
+
+The reference's align_read_to_ref chains ~100 bp Viterbi windows, each
+anchored by the previous window's last emitted row
+(src/alignment/nanopolish_eventalign.cpp:612-827).  The host wavefront
+(alignment/eventalign.py) pays one device round trip per chain step —
+~67 per 1.8 kb read — which on a remotely-attached chip puts a hard
+rounds x RTT floor under the app (measured 43-60 ms/round in slow relay
+moods).  This module runs the WHOLE chain inside one jitted
+lax.while_loop: every per-round quantity the host computed (end-pair
+search, window bounds, closest-event lookup, QC aborts, the kept-row
+selection and the re-anchoring) is a [B]-vectorized device op around
+the same Pallas Viterbi kernel, and the only fetch is the final packed
+row buffers.
+
+Exactness: every step mirrors the host path's arithmetic on the same
+arrays — the end-pair search is the same lower-bound over ascending
+ref positions, the closest-event array is precomputed host-side with
+get_closest_event_to's exact (+-1000, boundary-exclusive) semantics,
+and the kept-row rule is _consume's (drop K rows and the re-emitted
+anchor, cut at OUTPUT_STRIDE unless final section).  TSV byte equality
+with the host wavefront is pinned by tests (the chain runs in pallas
+interpret mode off-TPU).
+
+Jobs the fast path cannot express fall back to the host wavefront:
+multi-segment (spliced) alignments, reads whose closest-event map has
+holes, windows whose event span overflows the padded kernel shape
+(aborted mid-chain, detected on drain), and chains that exceed the
+round budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+ALIGN_STRIDE = 100   # eventalign.cpp:668
+OUTPUT_STRIDE = 50   # eventalign.cpp:669
+
+TP = 512             # padded event rows per window
+KP = 128             # padded kmer lanes per window (l <= 101 => nk <= 96)
+NEG = -1.0e30
+
+
+# ---------------------------------------------------------------------------
+# host-side precomputation
+# ---------------------------------------------------------------------------
+
+def closest_event_array(b2e: np.ndarray) -> np.ndarray:
+    """get_closest_event_to for every k-mer index, vectorized with the
+    scalar's exact quirks (squiggle.py get_closest_event_to /
+    get_next_event): the backward scan covers stop_before < j <= k and
+    the forward scan k <= j < stop_after, both boundary-EXCLUSIVE."""
+    m = b2e[:, 0].astype(np.int64)
+    n = len(m)
+    idx = np.arange(n)
+    has = m != -1
+    # last mapped index <= k
+    prev_i = np.maximum.accumulate(np.where(has, idx, -1))
+    # first mapped index >= k
+    next_i = np.minimum.accumulate(np.where(has, idx, n)[::-1])[::-1]
+    stop_before = np.maximum(0, idx - 1000)
+    stop_after = np.minimum(idx + 1000, n - 1)
+    prev_ok = (prev_i >= 0) & (prev_i > stop_before)
+    next_ok = (next_i < n) & (next_i < stop_after)
+    out = np.where(prev_ok, m[np.clip(prev_i, 0, n - 1)],
+                   np.where(next_ok, m[np.clip(next_i, 0, n - 1)], -1))
+    return out.astype(np.int32)
+
+
+class DeviceJob:
+    """Host-side staging for one (read, strand) chain job."""
+
+    __slots__ = ("job", "pairs_ref", "pairs_read", "ranks", "levels",
+                 "closest", "mu_tab", "sig_tab", "epb", "start_ev",
+                 "start_ref", "last_event", "forward", "ref_offset",
+                 "max_range")
+
+    def __init__(self, job, pairs_ref, pairs_read, ranks, levels, closest,
+                 mu_tab, sig_tab, epb, start_ev, start_ref, last_event,
+                 forward, ref_offset, max_range):
+        self.job = job
+        self.pairs_ref = pairs_ref
+        self.pairs_read = pairs_read
+        self.ranks = ranks
+        self.levels = levels
+        self.closest = closest
+        self.mu_tab = mu_tab
+        self.sig_tab = sig_tab
+        self.epb = epb
+        self.start_ev = start_ev
+        self.start_ref = start_ref
+        self.last_event = last_event
+        self.forward = forward
+        self.ref_offset = ref_offset
+        self.max_range = max_range
+
+
+def stage_job(job) -> Optional[DeviceJob]:
+    """Build a DeviceJob from a host _Job, or None if ineligible (the
+    caller keeps it on the host wavefront)."""
+    from ..alignment.segments import _model_tables, read_drift_levels
+    from .eventalign import _start_segment
+
+    if job.done or len(job.pair_segments) != 1:
+        return None
+    read = job.read
+    k = job.model.k
+    # chain start state (the host helper; mutates job, which is fine —
+    # the host path would do the identical initialization)
+    if job.pairs is None:
+        if not _start_segment(job):
+            return None                  # nothing to align: already done
+    pairs = job.pairs
+    do_base_rc = job.record.is_reverse
+    refs = np.ascontiguousarray(pairs[:, 0], np.int64)
+    reads_col = pairs[:, 1].astype(np.int64)
+    if do_base_rc:
+        reads_col = len(read.read_sequence) - reads_col - k
+    b2e = read.base_to_event_map[job.strand]
+    closest = closest_event_array(b2e)
+    if (closest < 0).any():
+        return None                      # holes: host path handles those
+    input_rc = (do_base_rc, not do_base_rc)[job.strand]
+    ranks = job.wranks_rc[::-1] if input_rc else job.wranks_fwd
+    levels = read_drift_levels(read, job.strand)
+    mu_tab, sig_tab = _model_tables(read, job.strand, job.model)
+    job._input_rc = input_rc             # the columns carry it
+    return DeviceJob(
+        job, refs, reads_col, np.ascontiguousarray(ranks, np.int32),
+        levels, closest, mu_tab, sig_tab,
+        float(read.events_per_base[job.strand]),
+        int(job.curr_start_event), int(job.curr_start_ref),
+        int(job.last_event), bool(job.forward), int(job.ref_offset),
+        abs(int(job.last_event) - int(job.curr_start_event)) + 1)
+
+
+# ---------------------------------------------------------------------------
+# the device program
+# ---------------------------------------------------------------------------
+
+def _chain_program(pairs_ref, pairs_read, n_pairs, ranks, n_ranks, levels,
+                   n_levels, closest, n_closest, a_full, b2_full, c0_full,
+                   trans8, start_ev0, start_ref0, last_event, fwd,
+                   ref_offset, k_arr, max_rounds, max_rows):
+    """jit-compiled chain: returns (out_ev, out_km, out_st, cursor, done,
+    aborted) after running every job's chain to completion (or abort)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas_profile_hmm import (ST_K, _profile_hmm_viterbi_call)
+
+    B = pairs_ref.shape[0]
+    ki = jnp.arange(KP, dtype=jnp.int32)
+    ti = jnp.arange(TP, dtype=jnp.int32)
+    rows_b = jnp.arange(B, dtype=jnp.int32)
+    clips0 = jnp.zeros((B, 2), jnp.float32)
+
+    def vsearch(mat, vals):
+        # first index with mat[b, i] > vals[b] (ascending rows)
+        return jax.vmap(
+            lambda a, v: jnp.searchsorted(a, v, side="right"))(mat, vals)
+
+    def body(carry):
+        (rnd, start_ev, start_ref, done, aborted, cursor,
+         out_ev, out_km, out_st) = carry
+        active = (~done) & (~aborted)
+
+        # loop condition (eventalign.cpp:689-690)
+        cond_more = jnp.where(fwd, start_ev < last_event,
+                              start_ev > last_event)
+        done = done | (active & ~cond_more)
+        active = (~done) & (~aborted)
+
+        # end-pair lower bound (anchor.get_end_pair semantics over
+        # ascending refs)
+        ep = jnp.clip(vsearch(pairs_ref, start_ref + ALIGN_STRIDE) - 1,
+                      0, n_pairs - 1)
+        end_ref = jnp.take_along_axis(pairs_ref, ep[:, None],
+                                      axis=1)[:, 0]
+        end_read = jnp.take_along_axis(pairs_read, ep[:, None],
+                                       axis=1)[:, 0]
+        bad = end_read < 0
+        s = start_ref - ref_offset
+        l = end_ref - start_ref + 1
+        bad = bad | (l < 2 * k_arr)
+        ev_stop = jnp.take_along_axis(
+            closest, jnp.clip(end_read, 0, n_closest - 1)[:, None],
+            axis=1)[:, 0]
+        bad = bad | (jnp.abs(start_ev - ev_stop) < 2)
+        done = done | (active & bad)
+        active = (~done) & (~aborted)
+        last_sec = ep == (n_pairs - 1)
+
+        # window shapes
+        nkr = l - k_arr + 1
+        stride = jnp.where(start_ev <= ev_stop, 1, -1)
+        nev = jnp.abs(ev_stop - start_ev) + 1
+        aborted = aborted | (active & (nev > TP))
+        active = (~done) & (~aborted)
+        nev_c = jnp.where(active, jnp.clip(nev, 1, TP), 1).astype(jnp.int32)
+        nk_c = jnp.where(active, jnp.clip(nkr, 1, KP), 1).astype(jnp.int32)
+
+        # kernel inputs (window gathers)
+        rk = jnp.take_along_axis(
+            ranks, jnp.clip(s[:, None] + ki[None, :], 0, (n_ranks - 1)[:, None]),
+            axis=1)
+        kmask = ki[None, :] < nk_c[:, None]
+        a = jnp.where(kmask, jnp.take_along_axis(a_full, rk, axis=1), 0.0)
+        b2 = jnp.where(kmask, jnp.take_along_axis(b2_full, rk, axis=1),
+                       0.0)
+        c0 = jnp.where(kmask, jnp.take_along_axis(c0_full, rk, axis=1),
+                       jnp.float32(NEG))
+        tmask = ti[None, :] < nev_c[:, None]
+        tidx = jnp.clip(start_ev[:, None] + ti[None, :] * stride[:, None],
+                        0, (n_levels - 1)[:, None])
+        evw = jnp.where(tmask, jnp.take_along_axis(levels, tidx, axis=1),
+                        0.0)
+
+        ke, meta = _profile_hmm_viterbi_call(
+            evw, a, b2, c0, nev_c[:, None], nk_c[:, None], trans8, clips0)
+        keT = ke.T
+        metaT = meta.T
+
+        # kept-row selection: _expand_backtrack emits, per valid
+        # backtrack row, ONE leading entry — for K rows the LANDING
+        # B/M entry at kmer (ke - dist - 1), for M/B rows themselves —
+        # followed by 'K' filler rows that _consume drops.  So every
+        # valid row past the soft-clip head (except the re-emitted
+        # anchor at t=0) contributes exactly one output row.
+        valid = (keT >= 0) & tmask
+        soft = ((metaT >> 11) & 1) == 1
+        t0 = jnp.maximum(
+            jnp.max(jnp.where(soft & valid, ti[None, :], -1), axis=1), 0)
+        st = metaT & 3
+        dist = (metaT >> 2) & 0xFF
+        head = ((metaT >> 10) & 1) == 1
+        keep = valid & (ti[None, :] >= t0[:, None]) & (ti[None, :] != 0)
+        order = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+        keep = keep & (last_sec[:, None] | (order <= OUTPUT_STRIDE))
+        keep = keep & active[:, None]
+        nkept = jnp.max(jnp.where(keep, order, 0), axis=1)
+        done = done | (active & (nkept == 0))
+
+        ev_abs = start_ev[:, None] + ti[None, :] * stride[:, None]
+        isk = st == ST_K
+        base_km = jnp.where(isk, keT - dist - 1, keT)
+        km_abs = start_ref[:, None] + base_km
+        stch = jnp.where(isk, jnp.where(head, 66, 77),
+                         jnp.where(st == 2, 77, 66)).astype(jnp.int32)
+
+        dump = max_rows
+        dest = jnp.where(keep, cursor[:, None] + order - 1, dump)
+        b2d = jnp.broadcast_to(rows_b[:, None], dest.shape)
+        out_ev = out_ev.at[b2d, dest].set(ev_abs)
+        out_km = out_km.at[b2d, dest].set(km_abs)
+        out_st = out_st.at[b2d, dest].set(stch)
+
+        # re-anchor from the last kept row (_consume tail)
+        t_last = jnp.max(jnp.where(keep, ti[None, :], -1), axis=1)
+        t_last_c = jnp.clip(t_last, 0, TP - 1)
+        new_ev = start_ev + t_last_c * stride
+        new_ref = start_ref + jnp.take_along_axis(
+            base_km, t_last_c[:, None], axis=1)[:, 0]
+        upd = ((~done) & (~aborted)) & (nkept > 0)
+        start_ev = jnp.where(upd, new_ev, start_ev)
+        start_ref = jnp.where(upd, new_ref, start_ref)
+        cursor = jnp.where(upd, cursor + nkept, cursor)
+        return (rnd + 1, start_ev, start_ref, done, aborted, cursor,
+                out_ev, out_km, out_st)
+
+    def cond(carry):
+        import jax.numpy as jnp
+        rnd, _, _, done, aborted, *_ = carry
+        return (rnd < max_rounds) & jnp.any((~done) & (~aborted))
+
+    import jax.numpy as jnp
+    init = (jnp.int32(0), start_ev0, start_ref0,
+            jnp.zeros(B, bool), jnp.zeros(B, bool),
+            jnp.zeros(B, jnp.int32),
+            jnp.zeros((B, max_rows + 1), jnp.int32),
+            jnp.zeros((B, max_rows + 1), jnp.int32),
+            jnp.zeros((B, max_rows + 1), jnp.int32))
+    import jax
+    (rnd, _, _, done, aborted, cursor, out_ev, out_km,
+     out_st) = jax.lax.while_loop(cond, body, init)
+    # chains that exhausted the round budget fall back to the host path
+    aborted = aborted | (~done)
+    return out_ev, out_km, out_st, cursor, done, aborted
+
+
+_chain_jit = None
+
+
+def _get_chain_jit():
+    global _chain_jit
+    if _chain_jit is None:
+        import jax
+        _chain_jit = jax.jit(
+            _chain_program,
+            static_argnames=("max_rounds", "max_rows"))
+    return _chain_jit
+
+
+def _pad2(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def run_device_chain(djobs: List[DeviceJob]) -> List[bool]:
+    """Run the staged jobs' chains on device; fill each underlying host
+    _Job's output columns and mark it done.  Returns per-job success
+    flags (False = caller re-runs that job on the host wavefront)."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas_profile_hmm import LOG_INV_SQRT_2PI
+    from ..utils.syncstats import timed_fetch
+
+    B0 = len(djobs)
+    B = _pad2(B0)
+    P = _pad2(max(len(d.pairs_ref) for d in djobs))
+    Rk = _pad2(max(len(d.ranks) for d in djobs))
+    L = _pad2(max(len(d.levels) for d in djobs))
+    Nc = _pad2(max(len(d.closest) for d in djobs))
+    S = max(len(d.mu_tab) for d in djobs)
+    max_range = max(d.max_range for d in djobs)
+    max_rows = max_range + 64
+    max_rounds = max_range // 20 + 32
+
+    pairs_ref = np.full((B, P), np.int64(1) << 40, np.int64)
+    pairs_read = np.full((B, P), -1, np.int64)
+    n_pairs = np.ones(B, np.int64)
+    ranks = np.zeros((B, Rk), np.int32)
+    n_ranks = np.ones(B, np.int64)
+    levels = np.zeros((B, L), np.float32)
+    n_levels = np.ones(B, np.int64)
+    closest = np.zeros((B, Nc), np.int32)
+    n_closest = np.ones(B, np.int64)
+    a_full = np.zeros((B, S), np.float32)
+    b2_full = np.zeros((B, S), np.float32)
+    c0_full = np.full((B, S), NEG, np.float32)
+    epb = np.full(B, 2.0, np.float32)
+    start_ev = np.zeros(B, np.int32)
+    start_ref = np.zeros(B, np.int32)
+    last_event = np.zeros(B, np.int32)
+    fwd = np.zeros(B, bool)
+    ref_offset = np.zeros(B, np.int32)
+    for i, d in enumerate(djobs):
+        np_ = len(d.pairs_ref)
+        pairs_ref[i, :np_] = d.pairs_ref
+        pairs_read[i, :np_] = d.pairs_read
+        n_pairs[i] = np_
+        ranks[i, :len(d.ranks)] = d.ranks
+        n_ranks[i] = len(d.ranks)
+        levels[i, :len(d.levels)] = d.levels
+        n_levels[i] = len(d.levels)
+        closest[i, :len(d.closest)] = d.closest
+        n_closest[i] = len(d.closest)
+        sig = np.maximum(d.sig_tab, 1e-30)
+        a_full[i, :len(sig)] = 1.0 / sig
+        b2_full[i, :len(sig)] = d.mu_tab * (1.0 / sig)
+        c0_full[i, :len(sig)] = LOG_INV_SQRT_2PI - np.log(sig)
+        epb[i] = d.epb
+        start_ev[i] = d.start_ev
+        start_ref[i] = d.start_ref
+        last_event[i] = d.last_event
+        fwd[i] = d.forward
+        ref_offset[i] = d.ref_offset
+    from ..ops.pallas_profile_hmm import _np_transitions
+    trans8 = _np_transitions(epb, 1.0).astype(np.float32)
+    # refs clipped to int32 range for the device search (positions are
+    # genomic, < 2^31; the pad value must exceed any query)
+    pairs_ref32 = np.minimum(pairs_ref, (1 << 31) - 2).astype(np.int32)
+
+    fn = _get_chain_jit()
+    out_ev, out_km, out_st, cursor, done, aborted = fn(
+        jnp.asarray(pairs_ref32), jnp.asarray(pairs_read.astype(np.int32)),
+        jnp.asarray(n_pairs.astype(np.int32)), jnp.asarray(ranks),
+        jnp.asarray(n_ranks.astype(np.int32)), jnp.asarray(levels),
+        jnp.asarray(n_levels.astype(np.int32)), jnp.asarray(closest),
+        jnp.asarray(n_closest.astype(np.int32)), jnp.asarray(a_full),
+        jnp.asarray(b2_full), jnp.asarray(c0_full), jnp.asarray(trans8),
+        jnp.asarray(start_ev), jnp.asarray(start_ref),
+        jnp.asarray(last_event), jnp.asarray(fwd),
+        jnp.asarray(ref_offset), jnp.int32(djobs[0].job.model.k),
+        max_rounds, max_rows)
+    flat = timed_fetch(jnp.concatenate(
+        [out_ev.reshape(-1), out_km.reshape(-1), out_st.reshape(-1),
+         cursor.astype(jnp.int32), done.astype(jnp.int32),
+         aborted.astype(jnp.int32)]))
+    sz = B * (max_rows + 1)
+    oev = flat[:sz].reshape(B, max_rows + 1)
+    okm = flat[sz:2 * sz].reshape(B, max_rows + 1)
+    ost = flat[2 * sz:3 * sz].reshape(B, max_rows + 1)
+    cur = flat[3 * sz:3 * sz + B]
+    ab = flat[3 * sz + 2 * B:3 * sz + 3 * B]
+
+    ok = []
+    for i, d in enumerate(djobs):
+        if ab[i]:
+            ok.append(False)
+            continue
+        n = int(cur[i])
+        job = d.job
+        job.out_ref.append(okm[i, :n].astype(np.int64))
+        job.out_ev.append(oev[i, :n].astype(np.int64))
+        job.out_st.append(ost[i, :n].astype(np.uint8))
+        job.done = True
+        ok.append(True)
+    return ok

@@ -28,6 +28,11 @@ ALIGN_STRIDE = 100   # ref bases per HMM call (eventalign.cpp:668)
 OUTPUT_STRIDE = 50   # alignments emitted per call (eventalign.cpp:669)
 
 
+def _on_tpu() -> bool:
+    import jax
+    return jax.default_backend() in ("tpu", "axon")
+
+
 @dataclass
 class EventAlignment:
     """One (reference kmer, event) alignment row
@@ -284,6 +289,28 @@ def align_reads_to_ref(
         jobs.append(job)
 
     live = [j for j in jobs if j is not None and not j.done]
+
+    # Device-chain fast path: the whole per-read segment chain runs in
+    # ONE jitted while_loop around the Pallas Viterbi (ONE dispatch +
+    # ONE fetch for the batch) instead of one sync per chain round —
+    # the host wavefront's wall floor is rounds x relay RTT
+    # (alignment/device_chain.py).  Ineligible or aborted jobs fall
+    # back to the host wavefront below.
+    dc_env = os.environ.get("NPT_EA_DEVICE_CHAIN", "auto")
+    use_chain = dc_env == "1" or (dc_env == "auto" and _on_tpu())
+    if use_chain and live:
+        from .device_chain import run_device_chain, stage_job
+
+        staged = []
+        for j in live:
+            d = stage_job(j)
+            if d is not None:
+                staged.append(d)
+        if staged:
+            oks = run_device_chain(staged)
+            live = [j for j in jobs
+                    if j is not None and not j.done]
+
     # The per-read segment chain is sequential, so every wavefront round
     # pays one device sync — a full relay round trip on remotely-attached
     # chips.  Running W independent wavefronts over disjoint job subsets

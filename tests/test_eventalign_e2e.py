@@ -167,3 +167,72 @@ def test_eventalign_window(pipeline_dir):
     rows = [l.split("\t") for l in out.getvalue().splitlines()[1:]]
     assert rows
     assert all(int(f[1]) <= 700 for f in rows)
+
+
+def test_device_chain_matches_host_wavefront(pipeline_dir, monkeypatch):
+    """The on-device segment chain (alignment/device_chain.py: the whole
+    chain in one jitted while_loop) must emit byte-identical TSV to the
+    host wavefront when both use the Pallas Viterbi kernel (interpret
+    mode off-TPU).  Covers forward and reverse reads."""
+    import io as _io
+
+    from nanopolish_tpu.apps import eventalign as ea_app
+
+    p = pipeline_dir
+    monkeypatch.setenv("NPT_HMM_IMPL", "pallas")
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("NPT_EA_DEVICE_CHAIN", mode)
+        out = _io.StringIO()
+        ea_app.main(["-r", p["fastq"], "-b", p["bam"], "-g", p["ref_fa"]],
+                    stdout=out)
+        outs[mode] = out.getvalue()
+    assert outs["0"] == outs["1"]
+    assert len(outs["1"].splitlines()) > 1000
+
+
+def test_closest_event_array_matches_scalar():
+    """closest_event_array must reproduce get_closest_event_to per index,
+    including the +-1000 boundary-exclusive quirks, on random sparse
+    maps."""
+    from nanopolish_tpu.alignment.device_chain import closest_event_array
+    from nanopolish_tpu.models.squiggle import SquiggleRead, T_IDX
+
+    rng = np.random.default_rng(5)
+    for density, n in ((0.9, 300), (0.05, 2500), (0.0005, 2500)):
+        b2e = np.full((n, 2), -1, np.int32)
+        mask = rng.random(n) < density
+        b2e[mask, 0] = np.arange(mask.sum(), dtype=np.int32) * 2
+        sr = SquiggleRead(read_name="x", read_sequence="A" * (n + 6))
+        sr.base_to_event_map[T_IDX] = b2e
+        got = closest_event_array(b2e)
+        for kidx in list(range(0, n, 37)) + [0, 1, n - 2, n - 1]:
+            assert got[kidx] == sr.get_closest_event_to(kidx, T_IDX), \
+                (density, kidx)
+
+
+def test_device_chain_ineligible_jobs_fall_back(pipeline_dir, monkeypatch):
+    """Spliced (multi-segment) alignments must take the host wavefront:
+    stage_job declines them, and the app still emits their rows."""
+    from nanopolish_tpu.alignment import device_chain as dc
+    from nanopolish_tpu.alignment.eventalign import _make_job
+    from nanopolish_tpu.io.bam import BamRecord
+    from nanopolish_tpu.io.fasta import FastaIndex
+    from nanopolish_tpu.io.readdb import ReadDB
+    from nanopolish_tpu.models.read_loader import load_squiggle_reads
+
+    p = pipeline_dir
+    db = ReadDB()
+    db.load(p["fastq"])
+    name = next(iter(p["truth"]))
+    tr = p["truth"][name]
+    reads = load_squiggle_reads([name], db, num_threads=1)
+    sr = reads[name]
+    # a spliced record: two M runs split by an N op
+    rec = BamRecord(qname=name, flag=16 if tr[2] else 0, tid=0, pos=tr[1],
+                    mapq=60, cigar=[(0, 200), (3, 50), (0, READ_LEN - 200)],
+                    seq=tr[3], qual=np.full(READ_LEN, 30, np.uint8))
+    fai = FastaIndex(p["ref_fa"])
+    job = _make_job(sr, rec, 0, 0, fai, ["tig1"], -1, -1)
+    assert job is not None and len(job.pair_segments) == 2
+    assert dc.stage_job(job) is None
