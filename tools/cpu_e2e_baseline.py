@@ -437,13 +437,36 @@ def run_methyltrain(vb, ba):
     pm = _load_tool("perf_e2e_methyltrain")
     captured, restore = _capture_viterbi_segments()
     cwd = os.getcwd()
+    # the tool's main() owns a TemporaryDirectory that dies when main
+    # returns; keep it alive until the ingest timing has read the corpus
+    holder = {}
+    orig_td = pm.tempfile.TemporaryDirectory
+
+    class _KeepTD:
+        # main() calls ctx.cleanup() itself; defer it until the ingest
+        # timing has read the corpus
+        def __init__(self, td):
+            self._td = td
+            self.name = td.name
+
+        def cleanup(self):
+            pass
+
+    def keep_td(*a, **k):
+        td = orig_td(*a, **k)
+        holder.setdefault("td", td)
+        return _KeepTD(td)
+
+    pm.tempfile.TemporaryDirectory = keep_td
     try:
         pm.main()
-        fastq = os.path.join(os.getcwd(), "reads.fastq")
+        d = holder["td"].name
+        fastq = os.path.join(d, "reads.fastq")
         t_vit, cells = _time_viterbi(vb, captured)
-        t_banded, t_detect, _, n_reads = _time_ingest(ba, ".", fastq)
+        t_banded, t_detect, _, n_reads = _time_ingest(ba, d, fastq)
     finally:
         restore()
+        pm.tempfile.TemporaryDirectory = orig_td
         os.chdir(cwd)
     align_units = pm.N_READS * pm.ROUNDS
     total_1t = t_vit + t_banded + t_detect
