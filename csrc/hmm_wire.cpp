@@ -140,3 +140,29 @@ void npt_build_hmm_wire_compact(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Sequential first-fit of segments into KP-lane rows, new row on group
+// change (segments pre-sorted group-major) — the Python loop ran at
+// variants-screening volume (millions of segments per window).
+void npt_pack_rows(const int32_t* ev_c, const int32_t* tr_c,
+                   const int64_t* widths, int64_t n, int64_t KP,
+                   int64_t* row_id, int64_t* lane_off) {
+    int64_t row = 0, cur = 0;
+    int32_t prev_e = -1, prev_x = -1;
+    for (int64_t s = 0; s < n; ++s) {
+        const int64_t w = widths[s];
+        if (ev_c[s] != prev_e || tr_c[s] != prev_x || cur + w > KP) {
+            if (s) ++row;
+            cur = 0;
+            prev_e = ev_c[s];
+            prev_x = tr_c[s];
+        }
+        row_id[s] = row;
+        lane_off[s] = cur;
+        cur += w;
+    }
+}
+
+}  // extern "C"

@@ -1124,10 +1124,13 @@ def _packed_call(ev, a_tab, b2_tab, c0_tab, nev, trans, clips, pos, rev,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "E", "Tc", "Rtab", "S", "U", "Kc", "B", "R2", "n", "TP", "KP",
+    "E", "Tc", "U", "Kc", "B", "R2", "n", "TP", "KP",
     "scan_hi"))
-def _forward_packed_call(wire, E, Tc, Rtab, S, U, Kc, B, R2, n, TP, KP,
+def _forward_packed_call(wire, tabs, E, Tc, U, Kc, B, R2, n, TP, KP,
                          scan_hi):
+    # tabs [3, Rtab, S] rides as its own (device-resident) argument:
+    # shipping it inside the wire re-transferred ~25 MB per dispatch at
+    # 50 kb screening volume
     o = 0
 
     def take(count, shape, dtype=jnp.float32):
@@ -1140,7 +1143,6 @@ def _forward_packed_call(wire, E, Tc, Rtab, S, U, Kc, B, R2, n, TP, KP,
 
     levels_u = take(E * Tc, (E, Tc))
     n_ev_u = take(E, (E,), jnp.int32)
-    tabs = take(3 * Rtab * S, (3, Rtab, S))
     rank_mat = take(U * Kc, (U, Kc), jnp.int32)
     trans_u = take(R2 * 8, (R2, 8))
     row_ev = take(B, (B,), jnp.int32)
@@ -1174,7 +1176,12 @@ def _forward_packed_call(wire, E, Tc, Rtab, S, U, Kc, B, R2, n, TP, KP,
 def _pack_rows(ids, widths, KP):
     """Sequential first-fit of segments into KP-lane rows, new row on
     group change — segments are pre-sorted by group key.  Returns
-    (row_id, lane_off) int64 arrays."""
+    (row_id, lane_off) int64 arrays.  Native when available (the Python
+    loop ran at millions of segments per 50 kb window)."""
+    from ..utils.native import get_native_lib
+    lib = get_native_lib()
+    if lib is not None and lib._pack_rows is not None:
+        return lib.pack_rows(ids[:, 0], ids[:, 3], widths, KP)
     n = len(widths)
     row_id = np.zeros(n, np.int64)
     lane_off = np.zeros(n, np.int64)
@@ -1214,6 +1221,13 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
                      axis=1).astype(np.float32)
 
     import jax.numpy as jnp
+
+    Rp = _pad_to_pow2(tabs.shape[1])
+    S = _pad_to_pow2(tabs.shape[2], lo=1024)
+    tabs_p = np.zeros((3, Rp, S), np.float32)
+    tabs_p[1] += 1.0
+    tabs_p[:, :tabs.shape[1], :tabs.shape[2]] = tabs
+    tabs_dev = jnp.asarray(tabs_p)     # ONE h2d for every dispatch
 
     pending = []
     for TP in sorted({int(t) for t in tp_all}):
@@ -1260,12 +1274,7 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
             E = _pad_to_pow2(len(ue))
             U = _pad_to_pow2(len(ur))     # uniques can exceed the ROW
             #                               count (many segments per row)
-            Rp = _pad_to_pow2(tabs.shape[1])
             R2 = _pad_to_pow2(trans_u.shape[0])
-            S = _pad_to_pow2(tabs.shape[2], lo=1024)
-            tabs_p = np.zeros((3, Rp, S), np.float32)
-            tabs_p[1] += 1.0
-            tabs_p[:, :tabs.shape[1], :tabs.shape[2]] = tabs
 
             # per-row metadata (rows of one group share ev/trans/clips)
             row_ev = np.zeros(B, np.int32)
@@ -1296,7 +1305,6 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
             wire = np.concatenate([
                 _pad_rows(lev_b, E).ravel(),
                 _pad_rows(n_ev_u[ue], E, 1).view(np.float32),
-                tabs_p.ravel(),
                 _pad_rows(rank_b, U).view(np.float32).ravel(),
                 _pad_rows(trans_u.astype(np.float32), R2).ravel(),
                 row_ev.view(np.float32),
@@ -1309,8 +1317,8 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
                 seg_idx.view(np.float32),
             ])
             dev = _forward_packed_call(
-                jnp.asarray(wire), E, Tc, Rp, S, U, Kc, B, R2, npad, TP,
-                KP, scan_hi)
+                jnp.asarray(wire), tabs_dev, E, Tc, U, Kc, B, R2, npad,
+                TP, KP, scan_hi)
             pending.append((sel[ss], dev, len(ss)))
             lo_row = hi_row
     from ..utils.syncstats import timed_fetch

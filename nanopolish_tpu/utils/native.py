@@ -96,6 +96,11 @@ class NativeLib:
                 p64_, i64_, i64_, i64_,
                 p32_,
             ]
+        self._pack_rows = getattr(cdll, "npt_pack_rows", None)
+        if self._pack_rows is not None:
+            pr = self._pack_rows
+            pr.restype = None
+            pr.argtypes = [p32_, p32_, p64_, i64_, i64_, p64_, p64_]
         self._meth_geometry = getattr(cdll, "npt_meth_geometry", None)
         if self._meth_geometry is not None:
             m = self._meth_geometry
@@ -114,6 +119,22 @@ class NativeLib:
                 p32_, p32_,                             # ranks_u/m
                 p64_, p64_, p64_, p64_, p64_,           # positions/meta
             ]
+
+    def pack_rows(self, ev_c, tr_c, widths, KP):
+        """First-fit row packing (csrc npt_pack_rows); identical to the
+        Python loop in ops/pallas_profile_hmm._pack_rows."""
+        n = len(widths)
+        row_id = np.empty(n, np.int64)
+        lane_off = np.empty(n, np.int64)
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        self._pack_rows(
+            np.ascontiguousarray(ev_c, np.int32).ctypes.data_as(p32),
+            np.ascontiguousarray(tr_c, np.int32).ctypes.data_as(p32),
+            np.ascontiguousarray(widths, np.int64).ctypes.data_as(p64),
+            n, KP, row_id.ctypes.data_as(p64),
+            lane_off.ctypes.data_as(p64))
+        return row_id, lane_off
 
     def build_hmm_wire(self, lev_buf, rank_buf, tabs, lev_pos, estep, nev,
                        rk_pos, rk_step, nk, tab_id, trans8, clips,
