@@ -298,8 +298,10 @@ def score_variants_batched_arrays(variant_jobs, indel_bias: float = 1.0,
     def score_ids(ids):
         flags = np.full(ids.shape[0], ALIGNMENT_FLAGS, np.int32)
         if on_tpu:
-            return forward_packed(levels_u, n_ev_u, tabs, rank_mat,
-                                  n_km_u, trans_u, ids, flags)
+            from ..utils.profiler import profile_scope
+            with profile_scope("va.score_ids"):
+                return forward_packed(levels_u, n_ev_u, tabs, rank_mat,
+                                      n_km_u, trans_u, ids, flags)
         # CPU flat path (scan kernels), matching _score_pending off-TPU
         from ..alignment.segments import forward_arrays
         nn = ids.shape[0]
@@ -316,12 +318,14 @@ def score_variants_batched_arrays(variant_jobs, indel_bias: float = 1.0,
 
     # ---- geometric chunk loop (same schedule + accumulation order as
     # the object path) ----
+    from ..utils.profiler import profile_scope as _ps
     max_events = max(len(job_evlist[ji]) for ji in alive)
     lo = 0
     step = max(1, chunk_reads // 2) if screen_threshold is not None \
         else max(max_events, 1)
     alive_arr = np.asarray(alive, np.int64)
     while lo < max_events and alive_arr.size:
+        _g = _ps("va.chunk_build"); _g.__enter__()
         parts = []
         jis = []
         for ji in alive_arr.tolist():
@@ -330,6 +334,7 @@ def score_variants_batched_arrays(variant_jobs, indel_bias: float = 1.0,
                 parts.append(rows)
                 jis.append(np.full(rows.size, ji, np.int64))
         if not parts:
+            _g.__exit__(None, None, None)
             break
         evc = np.concatenate(parts)
         jic = np.concatenate(jis)
@@ -346,6 +351,7 @@ def score_variants_batched_arrays(variant_jobs, indel_bias: float = 1.0,
                             axis=1).astype(np.int32)
         ids_var = np.stack([evc, tabc, job_var[jic], tabc],
                            axis=1).astype(np.int32)
+        _g.__exit__(None, None, None)
         s_all = score_ids(np.concatenate([ids_base, ids_var]))
         nub = len(uniq_b)
         delta = s_all[nub:] - s_all[:nub][inv_b]

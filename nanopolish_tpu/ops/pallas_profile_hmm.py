@@ -1252,9 +1252,11 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
         cap = 256
         while cap * 2 * bytes_per_row <= (45 << 20) and cap < 4096:
             cap *= 2
+        from ..utils.profiler import profile_scope
         lo_row = 0
         while lo_row < n_rows:
             hi_row = min(lo_row + cap, n_rows)
+            _sc = profile_scope("fp.build"); _sc.__enter__()
             smask = (row_id >= lo_row) & (row_id < hi_row)
             ss = np.flatnonzero(smask)
             sub = ids[sel[ss]]
@@ -1316,9 +1318,11 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
                 rev_w.view(np.float32).ravel(),
                 seg_idx.view(np.float32),
             ])
-            dev = _forward_packed_call(
-                jnp.asarray(wire), tabs_dev, E, Tc, U, Kc, B, R2, npad,
-                TP, KP, scan_hi)
+            _sc.__exit__(None, None, None)
+            with profile_scope("fp.dispatch"):
+                dev = _forward_packed_call(
+                    jnp.asarray(wire), tabs_dev, E, Tc, U, Kc, B, R2,
+                    npad, TP, KP, scan_hi)
             pending.append((sel[ss], dev, len(ss)))
             lo_row = hi_row
     from ..utils.syncstats import timed_fetch
