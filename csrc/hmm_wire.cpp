@@ -11,6 +11,7 @@
 // with the same np.float32 expressions, and b2 = mu*inv is the same
 // f32 product the numpy path computes elementwise.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 
@@ -163,6 +164,164 @@ void npt_pack_rows(const int32_t* ev_c, const int32_t* tr_c,
         lane_off[s] = cur;
         cur += w;
     }
+}
+
+}  // extern "C"
+
+namespace {
+inline int64_t pad_to(int64_t n, int64_t q) {
+    const int64_t m = (n + q - 1) / q * q;
+    return m > q ? m : q;
+}
+inline int64_t pad_pow2(int64_t n, int64_t lo = 8) {
+    int64_t p = lo;
+    while (p < n) p *= 2;
+    return p;
+}
+}  // namespace
+
+extern "C" {
+
+// One-pass assembly of the packed screening drain's dispatch wire
+// (ops/pallas_profile_hmm.forward_packed): unique event/rank rows,
+// per-row metadata, the four lane maps and the section concatenation —
+// the numpy version cost ~16 s of host time per 50 kb window.  ue keeps
+// np.unique's ascending order (ev ids arrive sorted); ur uses
+// first-seen order, which permutes rank_b rows and ur_inv consistently
+// (a pure relabeling: the kernel gathers the same values).
+// dims out: [E0, U0, Tc, Kc, B, E, U, R2, npad, total_len].
+// Returns total_len, or -1 if wire_cap would be exceeded.
+int64_t npt_fp_assemble(
+    const int32_t* ev_c, const int32_t* tab_c, const int32_t* rk_c,
+    const int32_t* tr_c,
+    const int64_t* widths, const int64_t* rid, const int64_t* loff,
+    int64_t n,
+    const float* levels_all, int64_t lev_stride,
+    const int32_t* nev_all,
+    const int32_t* rank_all, int64_t rank_stride,
+    const int32_t* nkm_all,
+    const float* trans_all, int64_t r2_rows,
+    const float* clips,            // [n, 2]
+    int32_t* ur_mark, int32_t* ur_slot, int64_t mark_len, int32_t epoch,
+    int64_t B0, int64_t KP, int64_t TP,
+    int32_t* ue_buf, int32_t* ur_buf,      // capacity n each
+    int32_t* ue_inv, int32_t* ur_inv,      // capacity n each
+    float* wire, int64_t wire_cap,
+    int64_t* dims) {
+    // pass 1: uniques + maxes
+    int64_t E0 = 0, U0 = 0;
+    int32_t tc_max = 1, kc_max = 1;
+    int32_t prev_ev = -1;
+    for (int64_t s = 0; s < n; ++s) {
+        const int32_t e = ev_c[s];
+        if (e != prev_ev) {
+            ue_buf[E0] = e;
+            const int32_t ne = nev_all[e];
+            if (ne > tc_max) tc_max = ne;
+            prev_ev = e;
+            ++E0;
+        }
+        ue_inv[s] = (int32_t)(E0 - 1);
+        const int32_t r = rk_c[s];
+        int32_t slot;
+        if (ur_mark[r] == epoch) {
+            slot = ur_slot[r];
+        } else {
+            ur_mark[r] = epoch;
+            slot = (int32_t)U0;
+            ur_slot[r] = slot;
+            ur_buf[U0] = r;
+            const int32_t nk = nkm_all[r];
+            if (nk > kc_max) kc_max = nk;
+            ++U0;
+        }
+        ur_inv[s] = slot;
+    }
+    (void)mark_len;
+    const int64_t Tc = std::min<int64_t>(pad_to(tc_max, 64), TP);
+    const int64_t Kc = pad_to(kc_max, 32);
+    const int64_t B = pad_pow2(B0);
+    const int64_t E = pad_pow2(E0);
+    const int64_t U = pad_pow2(U0);
+    const int64_t R2 = pad_pow2(r2_rows);
+    const int64_t npad = pad_pow2(n);
+    const int64_t total = E * Tc + E + U * Kc + R2 * 8 + B + B + 2 * B
+        + 4 * B * KP + npad;
+    dims[0] = E0; dims[1] = U0; dims[2] = Tc; dims[3] = Kc;
+    dims[4] = B; dims[5] = E; dims[6] = U; dims[7] = R2;
+    dims[8] = npad; dims[9] = total;
+    if (total > wire_cap) return -1;
+
+    float* p = wire;
+    // levels [E, Tc]
+    const int64_t ccopy = std::min(Tc, lev_stride);
+    for (int64_t e = 0; e < E0; ++e) {
+        std::memcpy(p + e * Tc, levels_all + (int64_t)ue_buf[e] * lev_stride,
+                    (size_t)ccopy * sizeof(float));
+        if (ccopy < Tc)
+            std::memset(p + e * Tc + ccopy, 0,
+                        (size_t)(Tc - ccopy) * sizeof(float));
+    }
+    std::memset(p + E0 * Tc, 0, (size_t)((E - E0) * Tc) * sizeof(float));
+    p += E * Tc;
+    // nev [E] (i32 bitcast)
+    int32_t* ip = (int32_t*)p;
+    for (int64_t e = 0; e < E0; ++e) ip[e] = nev_all[ue_buf[e]];
+    std::memset(ip + E0, 0, (size_t)(E - E0) * 4);
+    p += E;
+    // ranks [U, Kc] (i32 bitcast)
+    ip = (int32_t*)p;
+    const int64_t rcopy = std::min(Kc, rank_stride);
+    for (int64_t u = 0; u < U0; ++u) {
+        std::memcpy(ip + u * Kc, rank_all + (int64_t)ur_buf[u] * rank_stride,
+                    (size_t)rcopy * 4);
+        if (rcopy < Kc)
+            std::memset(ip + u * Kc + rcopy, 0, (size_t)(Kc - rcopy) * 4);
+    }
+    std::memset(ip + U0 * Kc, 0, (size_t)((U - U0) * Kc) * 4);
+    p += U * Kc;
+    // trans [R2, 8]
+    std::memcpy(p, trans_all, (size_t)(r2_rows * 8) * sizeof(float));
+    std::memset(p + r2_rows * 8, 0,
+                (size_t)((R2 - r2_rows) * 8) * sizeof(float));
+    p += R2 * 8;
+    // row_ev, row_tr (i32), row_clip [B,2]
+    int32_t* row_ev = (int32_t*)p;
+    int32_t* row_tr = (int32_t*)(p + B);
+    float* row_clip = p + 2 * B;
+    std::memset(row_ev, 0, (size_t)B * 4);
+    std::memset(row_tr, 0, (size_t)B * 4);
+    std::memset(row_clip, 0, (size_t)(2 * B) * sizeof(float));
+    // lane maps
+    float* lane_base = p + 4 * B;
+    int32_t* lane_rank = (int32_t*)lane_base;
+    int32_t* lane_tab = (int32_t*)(lane_base + B * KP);
+    int32_t* pos_w = (int32_t*)(lane_base + 2 * B * KP);
+    int32_t* rev_w = (int32_t*)(lane_base + 3 * B * KP);
+    std::memset(lane_rank, 0, (size_t)(B * KP) * 4);
+    std::memset(lane_tab, 0, (size_t)(B * KP) * 4);
+    std::memset(pos_w, 0xFF, (size_t)(B * KP) * 4);     // -1
+    std::memset(rev_w, 0xFF, (size_t)(B * KP) * 4);
+    float* seg_idx_f = lane_base + 4 * B * KP;
+    int32_t* seg_idx = (int32_t*)seg_idx_f;
+    for (int64_t s = 0; s < n; ++s) {
+        const int64_t r = rid[s];
+        row_ev[r] = ue_inv[s];
+        row_tr[r] = tr_c[s];
+        row_clip[2 * r] = clips[2 * s];
+        row_clip[2 * r + 1] = clips[2 * s + 1];
+        const int64_t w = widths[s];
+        const int64_t base = r * KP + loff[s];
+        for (int64_t j = 0; j < w; ++j) {
+            lane_rank[base + j] = ur_inv[s];
+            lane_tab[base + j] = tab_c[s];
+            pos_w[base + j] = (int32_t)j;
+            rev_w[base + j] = (int32_t)(w - 1 - j);
+        }
+        seg_idx[s] = (int32_t)(base + w - 1);
+    }
+    std::memset(seg_idx + n, 0, (size_t)(npad - n) * 4);
+    return total;
 }
 
 }  // extern "C"

@@ -1202,6 +1202,88 @@ def _pack_rows(ids, widths, KP):
     return row_id, lane_off
 
 
+
+
+_FP_SCRATCH: dict = {}
+
+
+def _fp_scratch(n_rank_rows: int):
+    """Epoch-stamped dedup scratch for the native packed-wire assembler,
+    grown as needed and shared across calls."""
+    st = _FP_SCRATCH.get("st")
+    if st is None or len(st[0]) < n_rank_rows:
+        st = (np.zeros(max(n_rank_rows, 1024), np.int32),
+              np.zeros(max(n_rank_rows, 1024), np.int32), [0])
+        _FP_SCRATCH["st"] = st
+    return st
+
+
+def _nat_assemble(nat, sub, w, rid, loff, levels_unique, n_ev_u, rank_mat,
+                  n_km_u, trans_u, clips_sub, scratch, B0, KP, TP, dims,
+                  wire_buf):
+    """Call csrc npt_fp_assemble, growing the shared wire buffer to fit
+    (two-pass on overflow: the first call computes the exact size)."""
+    import ctypes
+
+    global _FP_WIRE
+    mark, slot, epoch_box = scratch
+    epoch_box[0] += 1
+    epoch = epoch_box[0]
+    n = sub.shape[0]
+    ev_c = np.ascontiguousarray(sub[:, 0], np.int32)
+    tab_c = np.ascontiguousarray(sub[:, 1], np.int32)
+    rk_c = np.ascontiguousarray(sub[:, 2], np.int32)
+    tr_c = np.ascontiguousarray(sub[:, 3], np.int32)
+    wq = np.ascontiguousarray(w, np.int64)
+    ridq = np.ascontiguousarray(rid, np.int64)
+    loffq = np.ascontiguousarray(loff, np.int64)
+    clipsq = np.ascontiguousarray(clips_sub, np.float32)
+    lev = np.ascontiguousarray(levels_unique, np.float32)
+    rkm = np.ascontiguousarray(rank_mat, np.int32)
+    nev32 = np.ascontiguousarray(n_ev_u, np.int32)
+    nkm32 = np.ascontiguousarray(n_km_u, np.int32)
+    trq = np.ascontiguousarray(trans_u, np.float32)
+    ue_buf = np.empty(n, np.int32)
+    ur_buf = np.empty(n, np.int32)
+    ue_inv = np.empty(n, np.int32)
+    ur_inv = np.empty(n, np.int32)
+    P32 = ctypes.POINTER(ctypes.c_int32)
+    P64 = ctypes.POINTER(ctypes.c_int64)
+    PF = ctypes.POINTER(ctypes.c_float)
+
+    def call(buf):
+        return nat._fp_assemble(
+            ev_c.ctypes.data_as(P32), tab_c.ctypes.data_as(P32),
+            rk_c.ctypes.data_as(P32), tr_c.ctypes.data_as(P32),
+            wq.ctypes.data_as(P64), ridq.ctypes.data_as(P64),
+            loffq.ctypes.data_as(P64), n,
+            lev.ctypes.data_as(PF), lev.shape[1],
+            nev32.ctypes.data_as(P32),
+            rkm.ctypes.data_as(P32), rkm.shape[1],
+            nkm32.ctypes.data_as(P32),
+            trq.ctypes.data_as(PF), trq.shape[0],
+            clipsq.ctypes.data_as(PF),
+            mark.ctypes.data_as(P32), slot.ctypes.data_as(P32),
+            len(mark), np.int32(epoch),
+            B0, KP, TP,
+            ue_buf.ctypes.data_as(P32), ur_buf.ctypes.data_as(P32),
+            ue_inv.ctypes.data_as(P32), ur_inv.ctypes.data_as(P32),
+            buf.ctypes.data_as(PF), len(buf),
+            dims.ctypes.data_as(P64))
+
+    buf = _FP_WIRE
+    total = call(buf)
+    if total < 0:
+        _FP_WIRE = buf = np.empty(int(dims[9] * 1.5) + 1024, np.float32)
+        epoch_box[0] += 1
+        epoch = epoch_box[0]
+        total = call(buf)
+        assert total > 0
+    return int(total)
+
+
+_FP_WIRE = np.empty(0, np.float32)
+
 def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
                    ids, flags):
     """Score n segments given the indexed wire pieces (same contract as
@@ -1228,6 +1310,12 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
     tabs_p[1] += 1.0
     tabs_p[:, :tabs.shape[1], :tabs.shape[2]] = tabs
     tabs_dev = jnp.asarray(tabs_p)     # ONE h2d for every dispatch
+
+    from ..utils.native import get_native_lib
+    _nat = get_native_lib()
+    _scratch = _fp_scratch(rank_mat.shape[0]) if _nat is not None else None
+    _dims = np.zeros(10, np.int64)
+    _wire_buf = np.empty(0, np.float32)
 
     pending = []
     for TP in sorted({int(t) for t in tp_all}):
@@ -1264,6 +1352,28 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
             loff = lane_off[ss]
             w = widths[sel[ss]]
             B0 = hi_row - lo_row
+
+            if _nat is not None and _nat._fp_assemble is not None:
+                # native one-pass assembly (csrc npt_fp_assemble); ur
+                # rows come in first-seen order (a consistent
+                # relabeling of np.unique's sorted order — identical
+                # gathered values, hence identical scores)
+                nseg = len(ss)
+                total = _nat_assemble(
+                    _nat, sub, w, rid, loff, levels_unique, n_ev_u,
+                    rank_mat, n_km_u, trans_u, clips[sel[ss]],
+                    _scratch, B0, KP, TP, _dims, None)
+                (E0, U0, Tc, Kc, B, E, U, R2, npad,
+                 _tot) = (int(x) for x in _dims)
+                wire = _FP_WIRE[:total].copy()
+                _sc.__exit__(None, None, None)
+                with profile_scope("fp.dispatch"):
+                    dev = _forward_packed_call(
+                        jnp.asarray(wire), tabs_dev, E, Tc, U, Kc, B,
+                        R2, npad, TP, KP, scan_hi)
+                pending.append((sel[ss], dev, len(ss)))
+                lo_row = hi_row
+                continue
 
             ue, ue_inv = np.unique(sub[:, 0], return_inverse=True)
             ur, ur_inv = np.unique(sub[:, 2], return_inverse=True)

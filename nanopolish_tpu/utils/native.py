@@ -101,6 +101,21 @@ class NativeLib:
             pr = self._pack_rows
             pr.restype = None
             pr.argtypes = [p32_, p32_, p64_, i64_, i64_, p64_, p64_]
+        self._fp_assemble = getattr(cdll, "npt_fp_assemble", None)
+        if self._fp_assemble is not None:
+            fa = self._fp_assemble
+            fa.restype = i64_
+            fa.argtypes = [
+                p32_, p32_, p32_, p32_,
+                p64_, p64_, p64_, i64_,
+                pf_, i64_, p32_,
+                p32_, i64_, p32_,
+                pf_, i64_, pf_,
+                p32_, p32_, i64_, ctypes.c_int32,
+                i64_, i64_, i64_,
+                p32_, p32_, p32_, p32_,
+                pf_, i64_, p64_,
+            ]
         self._meth_geometry = getattr(cdll, "npt_meth_geometry", None)
         if self._meth_geometry is not None:
             m = self._meth_geometry

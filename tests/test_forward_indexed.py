@@ -155,3 +155,45 @@ def test_forward_packed_matches_scan_oracle():
             flags=FLAGS, indel_bias=1.0)
         assert abs(float(got[i]) - float(np.asarray(want)[0])) < 2e-3, \
             (i, float(got[i]), float(np.asarray(want)[0]))
+
+
+def test_native_fp_assembler_matches_numpy_build():
+    """csrc npt_fp_assemble (one-pass packed-wire assembly) must yield
+    identical scores to the numpy build path (ur rows are a consistent
+    relabeling; gathered values — hence scores — are equal)."""
+    import numpy as np
+
+    from nanopolish_tpu.ops import pallas_profile_hmm as pp
+    from nanopolish_tpu.utils import native
+
+    lib = native.get_native_lib()
+    if lib is None or lib._fp_assemble is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    E, U, R2 = 50, 90, 7
+    Tc, Kc = 96, 48
+    levels_u = rng.normal(100, 10, (E, Tc)).astype(np.float32)
+    n_ev_u = rng.integers(20, Tc, E).astype(np.int32)
+    rank_mat = rng.integers(0, 4096, (U, Kc)).astype(np.int32)
+    n_km_u = rng.integers(8, 17, U).astype(np.int32)
+    tabs = np.stack([rng.normal(100, 10, (9, 4096)),
+                     rng.uniform(1, 2, (9, 4096)),
+                     rng.normal(0, 1, (9, 4096))]).astype(np.float32)
+    trans_u = rng.normal(-1, 0.1, (R2, 8)).astype(np.float32)
+    n = 4000
+    ids = np.stack([rng.integers(0, E, n), rng.integers(0, 9, n),
+                    rng.integers(0, U, n), rng.integers(0, R2, n)],
+                   axis=1).astype(np.int32)
+    flags = np.full(n, 3, np.int32)
+    got = pp.forward_packed(levels_u, n_ev_u, tabs, rank_mat, n_km_u,
+                            trans_u, ids, flags)
+    fa, prr = lib._fp_assemble, lib._pack_rows
+    lib._fp_assemble = None
+    lib._pack_rows = None
+    try:
+        want = pp.forward_packed(levels_u, n_ev_u, tabs, rank_mat,
+                                 n_km_u, trans_u, ids, flags)
+    finally:
+        lib._fp_assemble, lib._pack_rows = fa, prr
+    np.testing.assert_array_equal(got, want)
