@@ -307,7 +307,13 @@ def align_reads_to_ref(
             if d is not None:
                 staged.append(d)
         if staged:
-            oks = run_device_chain(staged)
+            # one chain batch per kmer size (DNA 6-mers and RNA 5-mers
+            # cannot share the program's k)
+            by_k: dict = {}
+            for d in staged:
+                by_k.setdefault(d.job.model.k, []).append(d)
+            for group in by_k.values():
+                run_device_chain(group)
             live = [j for j in jobs
                     if j is not None and not j.done]
 
