@@ -31,8 +31,7 @@ round budget.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
