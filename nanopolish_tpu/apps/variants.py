@@ -208,14 +208,16 @@ def score_variants_batched_arrays(variant_jobs, indel_bias: float = 1.0,
             continue                    # apply_variant failure: -inf
         var_seq = base_seq[:di] + v.alt_seq + base_seq[di + rl_:]
         eid = id(events)
-        rows = evlist_ids.get(eid)
-        if rows is None:
-            rows = evlist_ids[eid] = np.array(
-                [ev_row(d) for d in events], np.int64)
+        ent = evlist_ids.get(eid)
+        if ent is None:
+            ent = evlist_ids[eid] = (
+                np.array([ev_row(d) for d in events], np.int64),
+                _events_memo_key(events))
+        rows, ekey = ent
         if total_memo is not None:
             kkey = (((base_seq, "nucleotide"),),
                     ((var_seq, "nucleotide"),),
-                    _events_memo_key(events),
+                    ekey,
                     screen_threshold, chunk_reads, indel_bias)
             hit = total_memo.get(kkey)
             if hit is not None:
