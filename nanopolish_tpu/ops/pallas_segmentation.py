@@ -291,3 +291,63 @@ def segmentation_labels_pallas(samples, n_samples, scale, shift, var,
         s_nb, sc, sh, va, last, ns.astype(np.int32), params,
         interpret=interpret)
     return np.asarray(labels)[:, 0, :].T[:B]
+
+
+@jax.jit
+def _seg_summary(labels, n_samples):
+    """Device-side reduction of the label matrix to the five quantities
+    _extract_segmentation consumes: last S->L / L->A / A->P / P->T
+    transition index (-1 if none) and the cliff count — fetching [B, 5]
+    ints instead of the [N, B] label matrix (~20 MB at RNA sample
+    counts, the warm polya app's dominant d2h)."""
+    lab = labels[:, 0, :].astype(jnp.int32)        # [Np, LB]
+    N = lab.shape[0]
+    ns = n_samples[None, :]
+    i = jnp.arange(N - 1, dtype=jnp.int32)[:, None]
+    tmask = (i + 1) < ns                            # transitions in [0, n-1)
+    cur = lab[:-1]
+    nxt = lab[1:]
+
+    def lastidx(a, b):
+        m = (cur == a) & (nxt == b) & tmask
+        return jnp.max(jnp.where(m, i, -1), axis=0)
+
+    vmask = jnp.arange(N, dtype=jnp.int32)[:, None] < ns
+    cliffs = jnp.sum(((lab == C) & vmask).astype(jnp.int32), axis=0)
+    return jnp.stack([lastidx(S, L), lastidx(L, A), lastidx(A, P),
+                      lastidx(P, T), cliffs], axis=1)    # [LB, 5]
+
+
+def segmentation_summaries_pallas(samples, n_samples, scale, shift, var,
+                                  params: SegmentationParams = None,
+                                  interpret=None):
+    """Like segmentation_labels_pallas but returns the [B, 5] summary
+    (see _seg_summary) with the label matrix reduced on device."""
+    if params is None:
+        params = SegmentationParams()
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    samples = np.asarray(samples, np.float32)
+    B, N0 = samples.shape
+    assert B <= LB, f"batch {B} exceeds kernel lane width {LB}"
+    n_samples = np.asarray(n_samples, np.int32)
+
+    s_nb = np.full((max(R, -(-N0 // R) * R), LB), 100.0, np.float32)
+    s_nb[:N0, :B] = samples.T
+    vec = lambda x, fill: np.full((1, LB), fill, np.float32)
+    sc = vec(scale, 1.0)
+    sh = vec(shift, 0.0)
+    va = vec(var, 1.0)
+    sc[0, :B] = scale
+    sh[0, :B] = shift
+    va[0, :B] = var
+    last = np.full((1, LB), 100.0, np.float32)
+    last[0, :B] = samples[np.arange(B), np.maximum(n_samples - 1, 0)]
+    ns = np.full((1, LB), 8, np.float32)
+    ns[0, :B] = n_samples
+    labels, _ = _segmentation_viterbi_pallas_call(
+        s_nb, sc, sh, va, last, ns.astype(np.int32), params,
+        interpret=interpret)
+    summ = _seg_summary(labels, jnp.asarray(ns[0].astype(np.int32)))
+    from ..utils.syncstats import timed_fetch
+    return timed_fetch(summ)[:B]

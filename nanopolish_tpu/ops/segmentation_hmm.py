@@ -226,10 +226,28 @@ def segment_reads(samples_list: List[np.ndarray], scalings_list,
             samples[i, :len(s)] = s
             n_samples[i] = len(s)
             sc[i] = scals
-        labels_bn = segmentation_labels_pallas(
+        from .pallas_segmentation import segmentation_summaries_pallas
+        summ = segmentation_summaries_pallas(
             samples, n_samples, sc[:, 0], sc[:, 1], sc[:, 2], params)
-        return [_extract_segmentation(labels_bn[i, :int(n_samples[i])])
-                for i in range(B)]
+        out = []
+        for i in range(B):
+            n = int(n_samples[i])
+            s_, l_, a_, p_, cliffs = (int(x) for x in summ[i])
+            seg_start = s_ if s_ >= 0 else 0
+            leader = l_ if l_ >= 0 else 1
+            adapter = a_ if a_ >= 0 else 2
+            polya = p_ if p_ >= 0 else 3
+            # identical defaulting quirk to _extract_segmentation: the
+            # fallback keys on the VALUES (a real transition at index
+            # 1/2/3 triggers it exactly like the scalar loop)
+            if leader == 1 or adapter == 2 or polya == 3:
+                leader = n - 3
+                adapter = n - 2
+                polya = n - 1
+            out.append(Segmentation(start=seg_start, leader=leader,
+                                    adapter=adapter, polya=polya,
+                                    cliffs=cliffs))
+        return out
 
     samples = np.full((B, N), 100.0, np.float32)
     n_samples = np.zeros(B, np.int32)
