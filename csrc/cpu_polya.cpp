@@ -94,9 +94,10 @@ int64_t npt_cpu_polya_viterbi(
         b[S] = S;
         b[L] = (s_to_l < l_to_l) ? L : S;
         b[A] = (l_to_a < a_to_a) ? A : L;
-        b[P] = (a_to_p < p_to_p && c_to_p < p_to_p)
+        // argmax consistent with nv[P]'s max (fixed tie order P,A,C)
+        b[P] = (p_to_p >= a_to_p && p_to_p >= c_to_p)
                    ? P
-                   : ((p_to_p < a_to_p && c_to_p < a_to_p) ? A : C);
+                   : ((a_to_p >= c_to_p) ? A : C);
         b[C] = (p_to_c < c_to_c) ? C : P;
         b[T] = (p_to_t < t_to_t) ? T : P;
 

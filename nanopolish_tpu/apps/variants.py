@@ -163,6 +163,20 @@ def score_variants_batched_arrays(variant_jobs, indel_bias: float = 1.0,
         return totals.tolist()
 
     k = 6
+    # eligibility: this path hard-codes 6-mer plain-nucleotide ranks; a
+    # 5-mer model's reads would compute 6-mer ranks gathered into
+    # 1024-entry tables (clamped on TPU => silently wrong screening
+    # scores).  Any other model k/alphabet falls back to the object
+    # path, which uses model.k.
+    seen_ev_lists = set()
+    for _, _, events in variant_jobs:
+        if id(events) in seen_ev_lists:
+            continue
+        seen_ev_lists.add(id(events))
+        for d in events:
+            m = d.sr.base_model[d.strand]
+            if m.k != k or m.alphabet.name != "nucleotide":
+                return None
     # ---- registries ----
     seq_rows: Dict[str, int] = {}
     seq_list: List[str] = []

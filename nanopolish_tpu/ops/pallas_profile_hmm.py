@@ -1205,17 +1205,19 @@ def _pack_rows(ids, widths, KP):
 
 
 _FP_SCRATCH: dict = {}
+_FP_LOCK = __import__("threading").Lock()
 
 
 def _fp_scratch(n_rank_rows: int):
     """Epoch-stamped dedup scratch for the native packed-wire assembler,
-    grown as needed and shared across calls."""
-    st = _FP_SCRATCH.get("st")
-    if st is None or len(st[0]) < n_rank_rows:
-        st = (np.zeros(max(n_rank_rows, 1024), np.int32),
-              np.zeros(max(n_rank_rows, 1024), np.int32), [0])
-        _FP_SCRATCH["st"] = st
-    return st
+    grown as needed and shared across calls (use under _FP_LOCK)."""
+    with _FP_LOCK:
+        st = _FP_SCRATCH.get("st")
+        if st is None or len(st[0]) < n_rank_rows:
+            st = (np.zeros(max(n_rank_rows, 1024), np.int32),
+                  np.zeros(max(n_rank_rows, 1024), np.int32), [0])
+            _FP_SCRATCH["st"] = st
+        return st
 
 
 def _nat_assemble(nat, sub, w, rid, loff, levels_unique, n_ev_u, rank_mat,
@@ -1359,13 +1361,18 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
                 # relabeling of np.unique's sorted order — identical
                 # gathered values, hence identical scores)
                 nseg = len(ss)
-                total = _nat_assemble(
-                    _nat, sub, w, rid, loff, levels_unique, n_ev_u,
-                    rank_mat, n_km_u, trans_u, clips[sel[ss]],
-                    _scratch, B0, KP, TP, _dims, None)
-                (E0, U0, Tc, Kc, B, E, U, R2, npad,
-                 _tot) = (int(x) for x in _dims)
-                wire = _FP_WIRE[:total].copy()
+                # the native assembler's dedup scratch + shared wire
+                # buffer are module globals; serialize assembly so
+                # worker-thread dispatch cannot corrupt an in-flight
+                # wire (the copy happens under the same lock)
+                with _FP_LOCK:
+                    total = _nat_assemble(
+                        _nat, sub, w, rid, loff, levels_unique, n_ev_u,
+                        rank_mat, n_km_u, trans_u, clips[sel[ss]],
+                        _scratch, B0, KP, TP, _dims, None)
+                    (E0, U0, Tc, Kc, B, E, U, R2, npad,
+                     _tot) = (int(x) for x in _dims)
+                    wire = _FP_WIRE[:total].copy()
                 _sc.__exit__(None, None, None)
                 with profile_scope("fp.dispatch"):
                     dev = _forward_packed_call(

@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.banded_align import banded_align_batch
 from ..ops.profile_hmm import make_transitions, profile_hmm_forward
@@ -129,9 +129,11 @@ def make_train_step(mesh: Mesh, n_ranks: int):
     body = functools.partial(_train_step_body, n_ranks=n_ranks,
                              model_shards=model_shards)
     batch_spec = TrainBatch(*(P(DATA_AXIS) for _ in TrainBatch._fields))
+    # check_vma=False: the body's psum outputs carry no varying-mesh-axes
+    # metadata for jax.shard_map's replication checker
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(P(MODEL_AXIS), P(MODEL_AXIS), batch_spec),
         out_specs=TrainStepResult(P(MODEL_AXIS), P(MODEL_AXIS), P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)

@@ -129,7 +129,10 @@ def main():
         print(f"corpus: {N_READS} reads x {READ_LEN}b in "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
-        n_chunks = (N_READS + 63) // 64
+        # the app's pipeline honors NPT_METH_CHUNK (default 64); the sync
+        # ceiling must budget the same chunk count (ADVICE r4)
+        chunk = max(1, int(os.environ.get("NPT_METH_CHUNK", "64")))
+        n_chunks = (N_READS + chunk - 1) // chunk
         cold_s, n_sites, snap = run_once(fastq, bam, ref_fa)
         print(json.dumps({"pass": "cold", "reads": N_READS,
                           "sites": n_sites, "s": round(cold_s, 1),
