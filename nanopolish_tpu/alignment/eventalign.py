@@ -68,17 +68,45 @@ class EventAlignmentColumns:
     ref_position: np.ndarray      # [n] int64
     event_idx: np.ndarray         # [n] int64
     state: np.ndarray             # [n] uint8 of 'M'/'B'/'E'... ascii codes
+    # whole-window kmer-rank arrays (the same arrays the wavefront scored
+    # with); consumers that need per-row model-kmer ranks slice these
+    # instead of re-ranking strings (methyltrain's event collection)
+    wranks_fwd: Optional[np.ndarray] = None
+    wranks_rc: Optional[np.ndarray] = None
 
     def __len__(self):
         return len(self.ref_position)
 
+    def model_kmer_ranks(self) -> np.ndarray:
+        """Per-row rank of the model kmer (-1 for 'B' rows, which have no
+        rank — the scalar path's kmer_rank KeyError).  Ranks come from
+        the whole-window arrays, i.e. the exact ranks the wavefront
+        scored each window with (_prepare's slice semantics)."""
+        k = self.model.k
+        p = np.asarray(self.ref_position, np.int64) - self.ref_offset
+        if self.rc:
+            wr = self.wranks_rc
+            idx = len(self.ref_seq) - k - p
+        else:
+            wr = self.wranks_fwd
+            idx = p
+        valid = (self.state != 66) & (idx >= 0) & (idx < len(wr))
+        return np.where(valid, wr[np.clip(idx, 0, len(wr) - 1)],
+                        -1).astype(np.int64)
+
     def to_rows(self) -> List[EventAlignment]:
         """Materialize EventAlignment objects (compat path for low-volume
-        consumers: SAM emit, summaries, calibration)."""
+        consumers: SAM emit, summaries, calibration).  rc model kmers are
+        slices of the whole-window reverse complement — the same
+        site-aware-revcomp semantics the wavefront scored with and the
+        TSV emitter renders (the reference's HMMInputSequence::get_kmer
+        likewise slices a window-level rc, nanopolish_eventalign.cpp)."""
         k = self.model.k
         alphabet = self.model.alphabet
         out = []
         seq = self.ref_seq
+        rc_seq = alphabet.reverse_complement(seq) if self.rc else ""
+        nseq = len(seq)
         off = self.ref_offset
         nk = "N" * k
         for rp, ev, st in zip(self.ref_position.tolist(),
@@ -87,7 +115,7 @@ class EventAlignmentColumns:
             if st == 66:            # 'B'
                 model_kmer = nk
             else:
-                model_kmer = alphabet.reverse_complement(ref_kmer) \
+                model_kmer = rc_seq[nseq - (rp - off) - k:nseq - (rp - off)] \
                     if self.rc else ref_kmer
             out.append(EventAlignment(
                 ref_name=self.ref_name, ref_position=rp, ref_kmer=ref_kmer,
@@ -357,7 +385,8 @@ def align_reads_to_ref(
                 event_idx=(np.concatenate(j.out_ev) if n
                            else np.zeros(0, np.int64)),
                 state=(np.concatenate(j.out_st) if n
-                       else np.zeros(0, np.uint8)))
+                       else np.zeros(0, np.uint8)),
+                wranks_fwd=j.wranks_fwd, wranks_rc=j.wranks_rc)
         if columnar:
             out.append(cols)
         else:

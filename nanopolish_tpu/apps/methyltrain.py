@@ -24,7 +24,7 @@ import numpy as np
 from ..alignment.eventalign import align_reads_to_ref
 from ..io.fasta import FastaIndex
 from ..io.readdb import ReadDB
-from ..models.calibration import recalibrate_model
+from ..models.calibration import recalibrate_model_columns
 from ..models.pore_model import PoreModel, PoreModelSet
 from ..models.read_builder import GLOBAL_READ_STATS
 from ..models.read_loader import load_squiggle_reads
@@ -50,26 +50,98 @@ class KmerSummary:
         self.num_stays = 0
 
 
+def _consume_columns(cols, sr, strand, summaries, event_count,
+                     match_count, stay_count, rng):
+    """Vectorized add_aligned_events body (methyltrain.cpp:406-474) over
+    one job's column arrays: per-row model-kmer ranks come from the
+    whole-window rank arrays the wavefront scored with, the use-filter
+    (interior rows, M state, duration and scaled-level floors) is one
+    boolean pass, and only the surviving events run the scalar reservoir
+    (same visit order => identical rng stream as the row loop)."""
+    n = len(cols)
+    if n == 0:
+        return
+    ranks = cols.model_kmer_ranks()
+    valid = ranks >= 0                      # B rows / invalid kmers skipped
+    st = cols.state
+    is_m = st == 77
+    np.add.at(match_count, ranks[valid & is_m], 1)
+    np.add.at(stay_count, ranks[valid & (st == 69)], 1)
+
+    i = np.arange(n)
+    ev = np.asarray(cols.event_idx, np.int64)
+    dur = np.asarray(sr.get_duration(ev, strand))
+    lvl = np.asarray(sr.get_fully_scaled_level(ev, strand), np.float64)
+    use = (valid & is_m
+           & (i > MIN_DISTANCE_FROM_ALIGNMENT_END)
+           & (i + MIN_DISTANCE_FROM_ALIGNMENT_END < n)
+           & (dur >= MIN_EVENT_DURATION)
+           & (lvl >= 1.0))
+    sel = np.flatnonzero(use)
+    if sel.size == 0:
+        return
+    sc = sr.scalings[strand]
+    svar = sc.var / sc.scale
+    r_sel = ranks[sel].tolist()
+    l_sel = [float(x) for x in lvl[sel]]
+    for rank, level in zip(r_sel, l_sel):
+        c = event_count[rank] = event_count[rank] + 1
+        summ_events = summaries[rank].events
+        # reservoir sampling (methyltrain.cpp:310-327)
+        if c <= MAX_EVENTS:
+            summ_events.append((level, svar))
+        else:
+            loc = int(rng.integers(0, c))
+            if loc < MAX_EVENTS:
+                summ_events[loc] = (level, svar)
+
+
 def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
                          calibrate: bool, round_idx: int = 0,
-                         out=None):
+                         out=None, read_cache: Optional[dict] = None):
     """One pass over the BAM collecting per-kmer training events
-    (add_aligned_events, methyltrain.cpp:329-474)."""
+    (add_aligned_events, methyltrain.cpp:329-474).
+
+    `read_cache` (owned by the round loop) keeps loaded SquiggleReads
+    and their as-ingested scalings across rounds: signal load, event
+    detection, and the banded event-to-base ingest depend only on the
+    read's base model, not the model being trained, so the reference's
+    per-round reload (methyltrain.cpp:791-819) is equivalent to
+    restoring the original scalings objects (identity-restore keeps the
+    per-read table caches sound) and re-running only the Viterbi
+    re-alignment under the updated model."""
     alphabet = model.alphabet
-    k = model.k
     n_states = model.level_mean.shape[0]
     summaries = [KmerSummary() for _ in range(n_states)]
     event_count = np.zeros(n_states, np.int64)
+    match_count = np.zeros(n_states, np.int64)
+    stay_count = np.zeros(n_states, np.int64)
 
     proc = BamBatchProcessor(opt.bam, region=opt.window,
                              max_reads=opt.max_reads)
     region_start = proc.clip_start if opt.window else -1
     region_end = (proc.clip_end - 1) if (opt.window and proc.clip_end >= 0) \
         else -1
+    output_scores = getattr(opt, "output_scores", False) and out is not None
     for batch in proc.batches():
         names = sorted({rec.qname for _, rec in batch})
-        reads = load_squiggle_reads(names, read_db, stats=GLOBAL_READ_STATS,
-                                    num_threads=opt.threads)
+        if read_cache is not None and all(n_ in read_cache for n_ in names):
+            reads = {}
+            for n_ in names:
+                sr, orig_scalings = read_cache[n_]
+                if sr is not None:
+                    sr.scalings = list(orig_scalings)
+                reads[n_] = sr
+            reads = {n_: r for n_, r in reads.items() if r is not None}
+        else:
+            reads = load_squiggle_reads(names, read_db,
+                                        stats=GLOBAL_READ_STATS,
+                                        num_threads=opt.threads)
+            if read_cache is not None:
+                for n_ in names:
+                    sr = reads.get(n_)
+                    read_cache[n_] = (
+                        sr, list(sr.scalings) if sr is not None else None)
         jobs = []
         for read_idx, rec in batch:
             sr = reads.get(rec.qname)
@@ -80,25 +152,25 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
                     jobs.append((sr, rec, strand, read_idx))
         alignments = align_reads_to_ref(jobs, fai, proc.references,
                                         region_start, region_end,
-                                        alphabet=alphabet.name)
-        for (sr, rec, strand, read_idx), ao in zip(jobs, alignments):
-            if not ao:
+                                        alphabet=alphabet.name,
+                                        columnar=True)
+        for (sr, rec, strand, read_idx), cols in zip(jobs, alignments):
+            if cols is None or len(cols) == 0:
                 continue
             # optional per-read score monitoring around recalibration
             # (methyltrain.cpp:380-404)
-            output_scores = getattr(opt, "output_scores", False) and \
-                out is not None
             if output_scores:
                 from .scorereads import read_model_score
+                ao = cols.to_rows()
                 contig = proc.references[rec.tid]
                 orig = read_model_score(sr, strand, fai, contig, ao,
                                         alphabet=alphabet.name)
                 out.write(f"{round_idx} {model.name} {read_idx} {strand} "
                           f"Original {orig}\n")
             if calibrate:
-                recalibrate_model(sr, sr.get_model(strand, alphabet.name),
-                                  strand, ao, scale_var=True,
-                                  scale_drift=True)
+                recalibrate_model_columns(
+                    sr, sr.get_model(strand, alphabet.name), strand, cols,
+                    scale_var=True, scale_drift=True)
                 if output_scores:
                     rescaled = read_model_score(sr, strand, fai, contig, ao,
                                                 alphabet=alphabet.name)
@@ -106,40 +178,13 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
                               f"Rescaled {rescaled}\n")
                     out.write(f"{round_idx} {model.name} {read_idx} {strand} "
                               f"Delta {rescaled - orig}\n")
-            sc = sr.scalings[strand]
-            n = len(ao)
-            for i, ea in enumerate(ao):
-                if ea.hmm_state == "B":
-                    continue
-                try:
-                    rank = alphabet.kmer_rank(ea.model_kmer, k)
-                except (KeyError, ValueError):
-                    continue
-                summ = summaries[rank]
-                use = (i > MIN_DISTANCE_FROM_ALIGNMENT_END
-                       and i + MIN_DISTANCE_FROM_ALIGNMENT_END < n
-                       and ea.hmm_state == "M"
-                       and sr.get_duration(ea.event_idx, strand)
-                       >= MIN_EVENT_DURATION
-                       and sr.get_fully_scaled_level(ea.event_idx, strand)
-                       >= 1.0)
-                if use:
-                    level = float(sr.get_fully_scaled_level(ea.event_idx,
-                                                            strand))
-                    svar = sc.var / sc.scale
-                    event_count[rank] += 1
-                    # reservoir sampling (methyltrain.cpp:310-327)
-                    if event_count[rank] <= MAX_EVENTS:
-                        summ.events.append((level, svar))
-                    else:
-                        loc = int(rng.integers(0, event_count[rank]))
-                        if loc < MAX_EVENTS:
-                            summ.events[loc] = (level, svar)
-                if ea.hmm_state == "M":
-                    summ.num_matches += 1
-                elif ea.hmm_state == "E":
-                    summ.num_stays += 1
+            _consume_columns(cols, sr, strand, summaries, event_count,
+                             match_count, stay_count, rng)
     proc.close()
+    for r in np.flatnonzero(match_count):
+        summaries[r].num_matches = int(match_count[r])
+    for r in np.flatnonzero(stay_count):
+        summaries[r].num_stays = int(stay_count[r])
     return summaries
 
 
@@ -254,6 +299,7 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         from ..utils.profiler import Progress
         prog = Progress("methyltrain")
 
+    read_cache: dict = {}
     for rnd in range(opt.rounds):
         if prog is not None:
             prog.update(rnd / max(opt.rounds, 1))
@@ -261,7 +307,7 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         model = pms.get_model(kit, alphabet, strand, k)
         summaries = collect_round_events(opt, read_db, fai, model, rng,
                                          opt.calibrate, round_idx=rnd,
-                                         out=out)
+                                         out=out, read_cache=read_cache)
         summary_path = f"methyltrain{opt.out_suffix}.summary"
         with open(summary_path, "w") as summary_fp:
             summary_fp.write(

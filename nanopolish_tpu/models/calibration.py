@@ -57,3 +57,36 @@ def recalibrate_model(sr: SquiggleRead, pore_model: PoreModel,
         float(np.asarray(res.shift)[0]), float(np.asarray(res.scale)[0]),
         float(np.asarray(res.drift)[0]), float(np.asarray(res.var)[0]))
     return True
+
+
+def recalibrate_model_columns(sr: SquiggleRead, pore_model: PoreModel,
+                              strand_idx: int, cols,
+                              scale_var: bool = True,
+                              scale_drift: bool = True,
+                              min_events: int = MIN_EVENTS_TO_RESCALE
+                              ) -> bool:
+    """recalibrate_model over EventAlignmentColumns (no row objects):
+    the M-row filter, model-kmer rank, and level/time extraction are
+    vectorized over the column arrays.  Same selection and the same
+    batched WLS solve as the row path."""
+    ranks = cols.model_kmer_ranks()
+    sel = np.flatnonzero((cols.state == 77) & (ranks >= 0))
+    n = sel.size
+    if n < min_events:
+        return False
+    ev_idx = np.asarray(cols.event_idx, np.int64)[sel]
+    r = ranks[sel]
+    levels = np.asarray(sr.get_unscaled_level(ev_idx, strand_idx),
+                        np.float32)[None, :]
+    t = np.asarray(sr.get_time(ev_idx, strand_idx), np.float32)[None, :]
+    mu = pore_model.level_mean[r].astype(np.float32)[None, :]
+    sd = pore_model.level_stdv[r].astype(np.float32)[None, :]
+    mask = np.ones((1, n), bool)
+    res = recalibrate(levels, t, mu, sd, mask, scale_var=scale_var,
+                      scale_drift=scale_drift)
+    if not bool(np.asarray(res.recalibrated)[0]):
+        return False
+    sr.scalings[strand_idx] = SquiggleScalings.from4(
+        float(np.asarray(res.shift)[0]), float(np.asarray(res.scale)[0]),
+        float(np.asarray(res.drift)[0]), float(np.asarray(res.var)[0]))
+    return True

@@ -99,3 +99,128 @@ def test_methyltrain_recovers_m_kmer_means(tmp_path, monkeypatch):
     # summary structure
     assert summary[0].startswith("model_short_name\tkmer\tnum_matches")
     PoreModelSet.reset()
+
+
+def test_consume_columns_matches_scalar_row_loop(tmp_path, monkeypatch):
+    """The vectorized event collection (_consume_columns) must reproduce
+    the scalar add_aligned_events loop (row objects, per-kmer rank
+    lookups, sequential reservoir) event for event."""
+    os.chdir(tmp_path)
+    PoreModelSet.reset()
+    pms = PoreModelSet.instance()
+    true_cpg = pms.get_model("r9.4_450bps", "cpg", "template", 6)
+    alphabet = true_cpg.alphabet
+
+    rng = np.random.default_rng(77)
+    genome = ""
+    while genome.count("CG") < 10:
+        genome = random_sequence(rng, 500)
+    meth_genome = METHYL_CPG_ALPHABET.methylate(genome)
+    ref_fa = str(tmp_path / "ref.fa")
+    with open(ref_fa, "w") as fh:
+        fh.write(">tig1\n" + meth_genome + "\n")
+
+    fastq = str(tmp_path / "r.fastq")
+    slow5 = str(tmp_path / "s.slow5")
+    n_reads = 6
+    from nanopolish_tpu.utils.alphabet import DNA_ALPHABET
+    with open(fastq, "w") as fq, Slow5Writer(slow5) as sw:
+        for i in range(n_reads):
+            is_rev = bool(i % 2)        # cover the rc rank path
+            basecall = DNA_ALPHABET.reverse_complement(genome) if is_rev \
+                else genome
+            fq.write(f"@q{i}\n{basecall}\n+\n{'I' * len(genome)}\n")
+            sc = SquiggleScalings.from4(0.0, 1.0, 0.0, 1.0)
+            sig_seq = METHYL_CPG_ALPHABET.methylate(basecall)
+            pa = synthetic_raw_signal(rng, sig_seq, true_cpg, sc,
+                                      samples_per_base=10.0, leader=450,
+                                      trailer=90)
+            adc = np.clip(pa * 8192.0 / 1400.0, -32000,
+                          32000).astype(np.int16)
+            sw.write(f"q{i}", adc, 8192.0, 0.0, 1400.0, 4000.0)
+    index_app.main([fastq, "--slow5", slow5])
+    bam = str(tmp_path / "a.bam")
+    w = BamWriter(bam, "@HD\tVN:1.6\tSO:coordinate\n", ["tig1"],
+                  [len(genome)])
+    for i in range(n_reads):
+        w.write(BamRecord(qname=f"q{i}", flag=16 if i % 2 else 0, tid=0,
+                          pos=0, mapq=60,
+                          cigar=[(0, len(genome))], seq=genome,
+                          qual=np.full(len(genome), 30, np.uint8)))
+    w.close()
+
+    from nanopolish_tpu.alignment.eventalign import align_reads_to_ref
+    from nanopolish_tpu.io.bam import BamReader
+    from nanopolish_tpu.io.fasta import FastaIndex
+    from nanopolish_tpu.io.readdb import ReadDB
+    from nanopolish_tpu.models.read_loader import load_squiggle_reads
+
+    read_db = ReadDB()
+    read_db.load(fastq)
+    fai = FastaIndex(ref_fa)
+    br = BamReader(bam)
+    recs = list(br)
+    reads = load_squiggle_reads(sorted({r.qname for r in recs}), read_db)
+    jobs = [(reads[r.qname], r, 0, i) for i, r in enumerate(recs)
+            if reads.get(r.qname) is not None]
+    cols_list = align_reads_to_ref(jobs, fai, br.references,
+                                   alphabet="cpg", columnar=True)
+
+    R = true_cpg.level_mean.shape[0]
+    # scalar reference (the pre-round-5 loop, methyltrain.cpp:406-474)
+    events_s = [[] for _ in range(R)]
+    count_s = np.zeros(R, np.int64)
+    match_s = np.zeros(R, np.int64)
+    stay_s = np.zeros(R, np.int64)
+    rng_s = np.random.default_rng(9)
+    for (sr, rec, strand, _), cols in zip(jobs, cols_list):
+        ao = cols.to_rows()
+        sc = sr.scalings[strand]
+        n = len(ao)
+        for i, ea in enumerate(ao):
+            if ea.hmm_state == "B":
+                continue
+            try:
+                rank = alphabet.kmer_rank(ea.model_kmer, 6)
+            except (KeyError, ValueError):
+                continue
+            use = (i > mt_app.MIN_DISTANCE_FROM_ALIGNMENT_END
+                   and i + mt_app.MIN_DISTANCE_FROM_ALIGNMENT_END < n
+                   and ea.hmm_state == "M"
+                   and sr.get_duration(ea.event_idx, strand)
+                   >= mt_app.MIN_EVENT_DURATION
+                   and sr.get_fully_scaled_level(ea.event_idx, strand)
+                   >= 1.0)
+            if use:
+                level = float(sr.get_fully_scaled_level(ea.event_idx,
+                                                        strand))
+                svar = sc.var / sc.scale
+                count_s[rank] += 1
+                if count_s[rank] <= mt_app.MAX_EVENTS:
+                    events_s[rank].append((level, svar))
+                else:
+                    loc = int(rng_s.integers(0, count_s[rank]))
+                    if loc < mt_app.MAX_EVENTS:
+                        events_s[rank][loc] = (level, svar)
+            if ea.hmm_state == "M":
+                match_s[rank] += 1
+            elif ea.hmm_state == "E":
+                stay_s[rank] += 1
+
+    # vectorized path
+    summaries = [mt_app.KmerSummary() for _ in range(R)]
+    count_v = np.zeros(R, np.int64)
+    match_v = np.zeros(R, np.int64)
+    stay_v = np.zeros(R, np.int64)
+    rng_v = np.random.default_rng(9)
+    for (sr, rec, strand, _), cols in zip(jobs, cols_list):
+        mt_app._consume_columns(cols, sr, strand, summaries, count_v,
+                                match_v, stay_v, rng_v)
+
+    assert count_s.sum() > 200, "corpus produced no training events"
+    np.testing.assert_array_equal(count_s, count_v)
+    np.testing.assert_array_equal(match_s, match_v)
+    np.testing.assert_array_equal(stay_s, stay_v)
+    for r in range(R):
+        assert events_s[r] == summaries[r].events, r
+    PoreModelSet.reset()

@@ -95,31 +95,50 @@ def main():
     # lower the train threshold like tests/test_methyltrain_e2e.py does
     mt_app.MIN_NUMBER_OF_EVENTS_TO_TRAIN = 15
     from nanopolish_tpu.utils.syncstats import SYNC_STATS
-    _snap_ctx = SYNC_STATS.capture()
-    snap = _snap_ctx.__enter__()
-    t0 = time.perf_counter()
-    mt_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-m", fofn,
-                 "--rounds", str(ROUNDS), "--no-write-models"])
-    dt = time.perf_counter() - t0
-    _snap_ctx.__exit__(None, None, None)
 
-    trained = pms.get_model("r9.4_450bps", "cpg", "template", 6)
-    summary = open("methyltrain.summary").read().splitlines()
-    trained_kmers = [l.split("\t")[1] for l in summary[1:]
-                     if l.split("\t")[6] == "1" and "M" in l.split("\t")[1]]
-    errs = [abs(float(trained.level_mean[
-        true_cpg.alphabet.kmer_rank(km, 6)]) -
-        float(true_cpg.level_mean[true_cpg.alphabet.kmer_rank(km, 6)]))
-        for km in trained_kmers]
-    print(json.dumps({
-        "host_s": round(dt - snap.blocked_s, 2),
-        **snap.as_dict(),
-        "reads": N_READS, "rounds": ROUNDS, "s": round(dt, 1),
-        "read_rounds_per_s": round(N_READS * ROUNDS / dt, 2),
-        "m_kmers_trained": len(trained_kmers),
-        "err_before_pA": PERTURB,
-        "err_after_pA_mean": round(float(np.mean(errs)), 2) if errs
-        else None}), flush=True)
+    def run_once():
+        # fresh model state: each pass trains from the perturbed start
+        PoreModelSet.reset()
+        with SYNC_STATS.capture() as snap:
+            t0 = time.perf_counter()
+            mt_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, "-m", fofn,
+                         "--rounds", str(ROUNDS), "--no-write-models"])
+            dt = time.perf_counter() - t0
+        return dt, snap
+
+    def report(tag, dt, snap):
+        pms_i = PoreModelSet.instance()
+        trained = pms_i.get_model("r9.4_450bps", "cpg", "template", 6)
+        summary = open("methyltrain.summary").read().splitlines()
+        trained_kmers = [l.split("\t")[1] for l in summary[1:]
+                        if l.split("\t")[6] == "1"
+                        and "M" in l.split("\t")[1]]
+        errs = [abs(float(trained.level_mean[
+            true_cpg.alphabet.kmer_rank(km, 6)]) -
+            float(true_cpg.level_mean[true_cpg.alphabet.kmer_rank(km, 6)]))
+            for km in trained_kmers]
+        print(json.dumps({
+            "pass": tag,
+            "host_s": round(max(dt - snap.blocked_s, 0.0), 2),
+            **snap.as_dict(),
+            "reads": N_READS, "rounds": ROUNDS, "s": round(dt, 1),
+            "read_rounds_per_s": round(N_READS * ROUNDS / dt, 2),
+            "m_kmers_trained": len(trained_kmers),
+            "err_before_pA": PERTURB,
+            "err_after_pA_mean": round(float(np.mean(errs)), 2) if errs
+            else None}), flush=True)
+
+    dt, snap = run_once()
+    report("cold", dt, snap)
+    reps = int(os.environ.get("NPT_E2E_REPS", "3"))
+    best = None
+    for _ in range(reps):
+        dt, snap = run_once()
+        report("warm_sample", dt, snap)
+        if best is None or dt < best[0]:
+            best = (dt, snap)
+    if best is not None:
+        report("warm", *best)
     os.chdir("/")
     ctx.cleanup()
 
