@@ -38,6 +38,15 @@ import numpy as np
 ALIGN_STRIDE = 100   # eventalign.cpp:668
 OUTPUT_STRIDE = 50   # eventalign.cpp:669
 
+# fallback-share accounting (read by the perf tools): how many jobs the
+# chain took vs sent back to the host wavefront, and why
+CHAIN_STATS = {"chained": 0, "ineligible": 0, "aborted": 0}
+
+
+def reset_chain_stats():
+    for k in CHAIN_STATS:
+        CHAIN_STATS[k] = 0
+
 TP = 512             # padded event rows per window
 KP = 128             # padded kmer lanes per window (l <= 101 => nk <= 96)
 NEG = -1.0e30
@@ -140,16 +149,35 @@ def stage_job(job) -> Optional[DeviceJob]:
 # the device program
 # ---------------------------------------------------------------------------
 
-def _chain_program(pairs_ref, pairs_read, n_pairs, ranks, n_ranks, levels,
-                   n_levels, closest, n_closest, a_full, b2_full, c0_full,
+def _chain_program(pairs_ref, pairs_read, n_pairs, a_pos, b2_pos, c0_pos,
+                   n_ranks, levels, n_levels, closest, n_closest,
                    trans8, start_ev0, start_ref0, last_event, fwd,
                    ref_offset, k_arr, max_rounds, max_rows):
-    """jit-compiled chain: returns (out_ev, out_km, out_st, cursor, done,
-    aborted) after running every job's chain to completion (or abort)."""
+    """jit-compiled chain: returns (packed rows, per-round anchors,
+    cursor, done, aborted) after running every job's chain to
+    completion (or abort).
+
+    Loop-body economy (the while body runs ~rows/OUTPUT_STRIDE times, so
+    its per-iteration cost IS the batch's device time):
+      * emission tables ship PRE-GATHERED BY WINDOW POSITION (a/b2/c0
+        per kmer position of the job's window, [B, Rk]) so the body's
+        gathers are small windowed take_along_axis ops instead of
+        random-rank gathers from [B, |alphabet|^k] tables;
+      * each kept row scatters ONE packed int32 (ti | state | base_km)
+        instead of three absolute-coordinate buffers; the absolutes are
+        reconstructed host-side from the per-round anchor records
+        (start_ev/stride, start_ref, cursor) written as cheap per-round
+        column stores."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from ..ops.pallas_profile_hmm import (ST_K, _profile_hmm_viterbi_call)
+
+    # trace-time ablation switches for tools/chain_ablate.py (cost
+    # attribution only — never set in production)
+    _abl = set(os.environ.get("NPT_CHAIN_ABLATE", "").split(","))
 
     B = pairs_ref.shape[0]
     ki = jnp.arange(KP, dtype=jnp.int32)
@@ -164,7 +192,7 @@ def _chain_program(pairs_ref, pairs_read, n_pairs, ranks, n_ranks, levels,
 
     def body(carry):
         (rnd, start_ev, start_ref, done, aborted, cursor,
-         out_ev, out_km, out_st) = carry
+         out_pk, anch_ev, anch_ref, anch_cur) = carry
         active = (~done) & (~aborted)
 
         # loop condition (eventalign.cpp:689-690)
@@ -175,8 +203,11 @@ def _chain_program(pairs_ref, pairs_read, n_pairs, ranks, n_ranks, levels,
 
         # end-pair lower bound (anchor.get_end_pair semantics over
         # ascending refs)
-        ep = jnp.clip(vsearch(pairs_ref, start_ref + ALIGN_STRIDE) - 1,
-                      0, n_pairs - 1)
+        if "search" in _abl:
+            ep = jnp.clip(start_ref * 0 + rnd, 0, n_pairs - 1)
+        else:
+            ep = jnp.clip(vsearch(pairs_ref, start_ref + ALIGN_STRIDE) - 1,
+                          0, n_pairs - 1)
         end_ref = jnp.take_along_axis(pairs_ref, ep[:, None],
                                       axis=1)[:, 0]
         end_read = jnp.take_along_axis(pairs_read, ep[:, None],
@@ -202,24 +233,47 @@ def _chain_program(pairs_ref, pairs_read, n_pairs, ranks, n_ranks, levels,
         nev_c = jnp.where(active, jnp.clip(nev, 1, TP), 1).astype(jnp.int32)
         nk_c = jnp.where(active, jnp.clip(nkr, 1, KP), 1).astype(jnp.int32)
 
-        # kernel inputs (window gathers)
-        rk = jnp.take_along_axis(
-            ranks, jnp.clip(s[:, None] + ki[None, :], 0, (n_ranks - 1)[:, None]),
-            axis=1)
+        # this round's anchor record (host reconstruction base)
+        anch_ev = anch_ev.at[:, rnd].set((start_ev << 1) | (stride > 0))
+        anch_ref = anch_ref.at[:, rnd].set(start_ref)
+        anch_cur = anch_cur.at[:, rnd].set(cursor)
+
+        # kernel inputs (small windowed gathers from positional rows)
         kmask = ki[None, :] < nk_c[:, None]
-        a = jnp.where(kmask, jnp.take_along_axis(a_full, rk, axis=1), 0.0)
-        b2 = jnp.where(kmask, jnp.take_along_axis(b2_full, rk, axis=1),
-                       0.0)
-        c0 = jnp.where(kmask, jnp.take_along_axis(c0_full, rk, axis=1),
-                       jnp.float32(NEG))
+        widx = jnp.clip(s[:, None] + ki[None, :], 0,
+                        (n_ranks - 1)[:, None])
+        if "kwin" in _abl:
+            a = jnp.where(kmask, a_pos[:, :KP], 0.0)
+            b2 = jnp.where(kmask, b2_pos[:, :KP], 0.0)
+            c0 = jnp.where(kmask, c0_pos[:, :KP], jnp.float32(NEG))
+        else:
+            a = jnp.where(kmask, jnp.take_along_axis(a_pos, widx, axis=1),
+                          0.0)
+            b2 = jnp.where(kmask, jnp.take_along_axis(b2_pos, widx, axis=1),
+                           0.0)
+            c0 = jnp.where(kmask, jnp.take_along_axis(c0_pos, widx, axis=1),
+                           jnp.float32(NEG))
         tmask = ti[None, :] < nev_c[:, None]
         tidx = jnp.clip(start_ev[:, None] + ti[None, :] * stride[:, None],
                         0, (n_levels - 1)[:, None])
-        evw = jnp.where(tmask, jnp.take_along_axis(levels, tidx, axis=1),
-                        0.0)
+        if "twin" in _abl:
+            evw = jnp.where(tmask, levels[:, :TP], 0.0)
+        else:
+            evw = jnp.where(tmask, jnp.take_along_axis(levels, tidx, axis=1),
+                            0.0)
 
-        ke, meta = _profile_hmm_viterbi_call(
-            evw, a, b2, c0, nev_c[:, None], nk_c[:, None], trans8, clips0)
+        if "kernel" in _abl:
+            # fake plausible backtrack rows; keep the input gathers live
+            # via a cheap data dependency
+            dep = (evw[:, :1].sum() + a[:, :1].sum() + b2[:, :1].sum()
+                   + c0[:, :1].sum()).astype(jnp.int32) * 0
+            ke = (jnp.minimum(ti[None, :] // 4, nk_c[:, None] - 1)
+                  + dep).T.astype(jnp.int32)
+            meta = jnp.full((TP, B), 2, jnp.int32)
+        else:
+            ke, meta = _profile_hmm_viterbi_call(
+                evw, a, b2, c0, nev_c[:, None], nk_c[:, None], trans8,
+                clips0)
         keT = ke.T
         metaT = meta.T
 
@@ -243,19 +297,22 @@ def _chain_program(pairs_ref, pairs_read, n_pairs, ranks, n_ranks, levels,
         nkept = jnp.max(jnp.where(keep, order, 0), axis=1)
         done = done | (active & (nkept == 0))
 
-        ev_abs = start_ev[:, None] + ti[None, :] * stride[:, None]
         isk = st == ST_K
         base_km = jnp.where(isk, keT - dist - 1, keT)
-        km_abs = start_ref[:, None] + base_km
-        stch = jnp.where(isk, jnp.where(head, 66, 77),
-                         jnp.where(st == 2, 77, 66)).astype(jnp.int32)
+        is_m = jnp.where(isk, jnp.where(head, 0, 1),
+                         jnp.where(st == 2, 1, 0))
+        # ti (9b) | is_m (1b) | base_km+256 (10b): absolutes derive
+        # from the round's anchor record
+        pk_row = (ti[None, :] | (is_m << 9)
+                  | ((base_km + 256) << 10)).astype(jnp.int32)
 
         dump = max_rows
         dest = jnp.where(keep, cursor[:, None] + order - 1, dump)
         b2d = jnp.broadcast_to(rows_b[:, None], dest.shape)
-        out_ev = out_ev.at[b2d, dest].set(ev_abs)
-        out_km = out_km.at[b2d, dest].set(km_abs)
-        out_st = out_st.at[b2d, dest].set(stch)
+        if "scatter" in _abl:
+            out_pk = out_pk.at[:, :1].add(pk_row[:, :1] * 0 + dest[:, :1] * 0)
+        else:
+            out_pk = out_pk.at[b2d, dest].set(pk_row)
 
         # re-anchor from the last kept row (_consume tail)
         t_last = jnp.max(jnp.where(keep, ti[None, :], -1), axis=1)
@@ -268,7 +325,7 @@ def _chain_program(pairs_ref, pairs_read, n_pairs, ranks, n_ranks, levels,
         start_ref = jnp.where(upd, new_ref, start_ref)
         cursor = jnp.where(upd, cursor + nkept, cursor)
         return (rnd + 1, start_ev, start_ref, done, aborted, cursor,
-                out_ev, out_km, out_st)
+                out_pk, anch_ev, anch_ref, anch_cur)
 
     def cond(carry):
         import jax.numpy as jnp
@@ -280,14 +337,19 @@ def _chain_program(pairs_ref, pairs_read, n_pairs, ranks, n_ranks, levels,
             jnp.zeros(B, bool), jnp.zeros(B, bool),
             jnp.zeros(B, jnp.int32),
             jnp.zeros((B, max_rows + 1), jnp.int32),
-            jnp.zeros((B, max_rows + 1), jnp.int32),
-            jnp.zeros((B, max_rows + 1), jnp.int32))
+            jnp.zeros((B, max_rounds), jnp.int32),
+            jnp.zeros((B, max_rounds), jnp.int32),
+            jnp.zeros((B, max_rounds), jnp.int32))
     import jax
-    (rnd, _, _, done, aborted, cursor, out_ev, out_km,
-     out_st) = jax.lax.while_loop(cond, body, init)
+    (rnd, _, _, done, aborted, cursor, out_pk, anch_ev, anch_ref,
+     anch_cur) = jax.lax.while_loop(cond, body, init)
     # chains that exhausted the round budget fall back to the host path
     aborted = aborted | (~done)
-    return out_ev, out_km, out_st, cursor, done, aborted
+    # rounds past the loop's exit hold their zero init; close the cursor
+    # chain so host-side per-round row counts (diffs) are exact
+    colsr = jnp.arange(max_rounds, dtype=jnp.int32)[None, :]
+    anch_cur = jnp.where(colsr >= rnd, cursor[:, None], anch_cur)
+    return out_pk, anch_ev, anch_ref, anch_cur, cursor, done, aborted
 
 
 _chain_jit = None
@@ -319,6 +381,8 @@ def run_device_chain(djobs: List[DeviceJob]) -> List[bool]:
     from ..ops.pallas_profile_hmm import LOG_INV_SQRT_2PI
     from ..utils.syncstats import timed_fetch
 
+    from ..utils.profiler import profile_scope
+    _b = profile_scope("ea.chain_build"); _b.__enter__()
     B0 = len(djobs)
     B = _pad2(B0)
     P = _pad2(max(len(d.pairs_ref) for d in djobs))
@@ -333,15 +397,17 @@ def run_device_chain(djobs: List[DeviceJob]) -> List[bool]:
     pairs_ref = np.full((B, P), np.int64(1) << 40, np.int64)
     pairs_read = np.full((B, P), -1, np.int64)
     n_pairs = np.ones(B, np.int64)
-    ranks = np.zeros((B, Rk), np.int32)
     n_ranks = np.ones(B, np.int64)
     levels = np.zeros((B, L), np.float32)
     n_levels = np.ones(B, np.int64)
     closest = np.zeros((B, Nc), np.int32)
     n_closest = np.ones(B, np.int64)
-    a_full = np.zeros((B, S), np.float32)
-    b2_full = np.zeros((B, S), np.float32)
-    c0_full = np.full((B, S), NEG, np.float32)
+    # emission tables pre-gathered by window position (see
+    # _chain_program's docstring): a/b2/c0 at each kmer position of the
+    # job's whole window
+    a_pos = np.zeros((B, Rk), np.float32)
+    b2_pos = np.zeros((B, Rk), np.float32)
+    c0_pos = np.full((B, Rk), NEG, np.float32)
     epb = np.full(B, 2.0, np.float32)
     start_ev = np.zeros(B, np.int32)
     start_ref = np.zeros(B, np.int32)
@@ -353,16 +419,18 @@ def run_device_chain(djobs: List[DeviceJob]) -> List[bool]:
         pairs_ref[i, :np_] = d.pairs_ref
         pairs_read[i, :np_] = d.pairs_read
         n_pairs[i] = np_
-        ranks[i, :len(d.ranks)] = d.ranks
-        n_ranks[i] = len(d.ranks)
+        nr = len(d.ranks)
+        n_ranks[i] = nr
         levels[i, :len(d.levels)] = d.levels
         n_levels[i] = len(d.levels)
         closest[i, :len(d.closest)] = d.closest
         n_closest[i] = len(d.closest)
         sig = np.maximum(d.sig_tab, 1e-30)
-        a_full[i, :len(sig)] = 1.0 / sig
-        b2_full[i, :len(sig)] = d.mu_tab * (1.0 / sig)
-        c0_full[i, :len(sig)] = LOG_INV_SQRT_2PI - np.log(sig)
+        inv = 1.0 / sig
+        rk = d.ranks
+        a_pos[i, :nr] = inv[rk]
+        b2_pos[i, :nr] = (d.mu_tab * inv)[rk]
+        c0_pos[i, :nr] = (LOG_INV_SQRT_2PI - np.log(sig))[rk]
         epb[i] = d.epb
         start_ev[i] = d.start_ev
         start_ref[i] = d.start_ref
@@ -375,39 +443,56 @@ def run_device_chain(djobs: List[DeviceJob]) -> List[bool]:
     # genomic, < 2^31; the pad value must exceed any query)
     pairs_ref32 = np.minimum(pairs_ref, (1 << 31) - 2).astype(np.int32)
 
+    _b.__exit__(None, None, None)
     fn = _get_chain_jit()
-    out_ev, out_km, out_st, cursor, done, aborted = fn(
+    packed, anch_ev, anch_ref, anch_cur, cursor, done, aborted = fn(
         jnp.asarray(pairs_ref32), jnp.asarray(pairs_read.astype(np.int32)),
-        jnp.asarray(n_pairs.astype(np.int32)), jnp.asarray(ranks),
+        jnp.asarray(n_pairs.astype(np.int32)),
+        jnp.asarray(a_pos), jnp.asarray(b2_pos), jnp.asarray(c0_pos),
         jnp.asarray(n_ranks.astype(np.int32)), jnp.asarray(levels),
         jnp.asarray(n_levels.astype(np.int32)), jnp.asarray(closest),
-        jnp.asarray(n_closest.astype(np.int32)), jnp.asarray(a_full),
-        jnp.asarray(b2_full), jnp.asarray(c0_full), jnp.asarray(trans8),
+        jnp.asarray(n_closest.astype(np.int32)), jnp.asarray(trans8),
         jnp.asarray(start_ev), jnp.asarray(start_ref),
         jnp.asarray(last_event), jnp.asarray(fwd),
         jnp.asarray(ref_offset), jnp.int32(djobs[0].job.model.k),
         max_rounds, max_rows)
     flat = timed_fetch(jnp.concatenate(
-        [out_ev.reshape(-1), out_km.reshape(-1), out_st.reshape(-1),
+        [packed.reshape(-1), anch_ev.reshape(-1), anch_ref.reshape(-1),
+         anch_cur.reshape(-1),
          cursor.astype(jnp.int32), done.astype(jnp.int32),
          aborted.astype(jnp.int32)]))
     sz = B * (max_rows + 1)
-    oev = flat[:sz].reshape(B, max_rows + 1)
-    okm = flat[sz:2 * sz].reshape(B, max_rows + 1)
-    ost = flat[2 * sz:3 * sz].reshape(B, max_rows + 1)
-    cur = flat[3 * sz:3 * sz + B]
-    ab = flat[3 * sz + 2 * B:3 * sz + 3 * B]
+    az = B * max_rounds
+    pk = flat[:sz].reshape(B, max_rows + 1)
+    aev = flat[sz:sz + az].reshape(B, max_rounds)
+    aref = flat[sz + az:sz + 2 * az].reshape(B, max_rounds)
+    acur = flat[sz + 2 * az:sz + 3 * az].reshape(B, max_rounds)
+    cur = flat[sz + 3 * az:sz + 3 * az + B]
+    ab = flat[sz + 3 * az + 2 * B:sz + 3 * az + 3 * B]
 
+    _u = profile_scope("ea.chain_unpack"); _u.__enter__()
     ok = []
     for i, d in enumerate(djobs):
         if ab[i]:
+            CHAIN_STATS["aborted"] += 1
             ok.append(False)
             continue
+        CHAIN_STATS["chained"] += 1
         n = int(cur[i])
         job = d.job
-        job.out_ref.append(okm[i, :n].astype(np.int64))
-        job.out_ev.append(oev[i, :n].astype(np.int64))
-        job.out_st.append(ost[i, :n].astype(np.uint8))
+        p = pk[i, :n].astype(np.int64)
+        t_of = p & 0x1FF
+        is_m = (p >> 9) & 1
+        bkm = ((p >> 10) & 0x3FF) - 256
+        # row -> round via the cursor chain; absolutes from the anchors
+        counts = np.diff(np.append(acur[i], n))
+        rof = np.repeat(np.arange(len(counts)), counts)
+        ae = aev[i][rof]
+        stride = 2 * (ae & 1) - 1
+        job.out_ev.append((ae >> 1) + t_of * stride)
+        job.out_ref.append(aref[i][rof] + bkm)
+        job.out_st.append(np.where(is_m, 77, 66).astype(np.uint8))
         job.done = True
         ok.append(True)
+    _u.__exit__(None, None, None)
     return ok

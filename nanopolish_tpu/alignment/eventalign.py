@@ -302,6 +302,7 @@ def align_reads_to_ref(
     fai, references: List[str],
     region_start: int = -1, region_end: int = -1,
     alphabet: str = "", columnar: bool = False,
+    job_cache: Optional[dict] = None,
 ) -> List:
     """Align many (read, record, strand, read_idx) jobs via the segment
     wavefront.  Returns one EventAlignment list per input job — or, with
@@ -313,7 +314,8 @@ def align_reads_to_ref(
     jobs: List[Optional[_Job]] = []
     for read, record, strand, read_idx in jobs_in:
         job = _make_job(read, record, strand, read_idx, fai, references,
-                        region_start, region_end, alphabet)
+                        region_start, region_end, alphabet,
+                        job_cache=job_cache)
         jobs.append(job)
 
     live = [j for j in jobs if j is not None and not j.done]
@@ -327,13 +329,16 @@ def align_reads_to_ref(
     dc_env = os.environ.get("NPT_EA_DEVICE_CHAIN", "auto")
     use_chain = dc_env == "1" or (dc_env == "auto" and _on_tpu())
     if use_chain and live:
-        from .device_chain import run_device_chain, stage_job
+        from ..utils.profiler import profile_scope
+        from .device_chain import CHAIN_STATS, run_device_chain, stage_job
 
-        staged = []
-        for j in live:
-            d = stage_job(j)
-            if d is not None:
-                staged.append(d)
+        with profile_scope("ea.stage_jobs"):
+            staged = []
+            for j in live:
+                d = stage_job(j)
+                if d is not None:
+                    staged.append(d)
+            CHAIN_STATS["ineligible"] += len(live) - len(staged)
         if staged:
             # one chain batch per kmer size (DNA 6-mers and RNA 5-mers
             # cannot share the program's k)
@@ -416,7 +421,8 @@ def _run_wavefront(active: List[_Job]) -> None:
 def _make_job(read: SquiggleRead, record: BamRecord, strand: int,
               read_idx: int, fai, references: List[str],
               region_start: int, region_end: int,
-              alphabet: str = "") -> Optional[_Job]:
+              alphabet: str = "",
+              job_cache: Optional[dict] = None) -> Optional[_Job]:
     if record.is_unmapped or not read.has_events_for_strand(strand):
         return None
     model = read.get_model(strand, alphabet) if alphabet \
@@ -424,24 +430,41 @@ def _make_job(read: SquiggleRead, record: BamRecord, strand: int,
     k = model.k
     ref_name = references[record.tid]
     ref_offset = record.pos
-    ref_seq = fai.fetch(ref_name, ref_offset, record.reference_end() + 1).upper()
-    ref_seq = model.alphabet.disambiguate(ref_seq)
-    rc_ref_seq = model.alphabet.reverse_complement(ref_seq)
 
-    pair_segments = get_aligned_segments(record)
-    max_kmer_idx = len(read.read_sequence) - k
-    trimmed = []
-    for pairs in pair_segments:
-        if region_start != -1 and region_end != -1:
-            pairs = trim_pairs_to_ref_region(pairs, region_start, region_end)
-        pairs = trim_pairs_to_kmer(pairs, max_kmer_idx)
-        if pairs.shape[0] == 0:
-            # an empty trimmed segment aborts the record (eventalign.cpp:664)
-            break
-        trimmed.append(pairs)
+    # the model-independent job constants (window strings, whole-window
+    # rank arrays, trimmed CIGAR pairs) are reusable across repeated
+    # alignments of the same record (methyltrain re-aligns every round
+    # under an updated model; only the model tables change)
+    ck = (record.qname, record.tid, record.pos, strand, alphabet,
+          region_start, region_end)
+    ent = job_cache.get(ck) if job_cache is not None else None
+    if ent is None:
+        ref_seq = fai.fetch(ref_name, ref_offset,
+                            record.reference_end() + 1).upper()
+        ref_seq = model.alphabet.disambiguate(ref_seq)
+        rc_ref_seq = model.alphabet.reverse_complement(ref_seq)
+
+        pair_segments = get_aligned_segments(record)
+        max_kmer_idx = len(read.read_sequence) - k
+        trimmed = []
+        for pairs in pair_segments:
+            if region_start != -1 and region_end != -1:
+                pairs = trim_pairs_to_ref_region(pairs, region_start,
+                                                 region_end)
+            pairs = trim_pairs_to_kmer(pairs, max_kmer_idx)
+            if pairs.shape[0] == 0:
+                # an empty trimmed segment aborts the record
+                # (eventalign.cpp:664)
+                break
+            trimmed.append(pairs)
+        ent = (ref_seq, rc_ref_seq, trimmed,
+               model.alphabet.seq_to_kmer_ranks(ref_seq, k),
+               model.alphabet.seq_to_kmer_ranks(rc_ref_seq, k))
+        if job_cache is not None:
+            job_cache[ck] = ent
+    ref_seq, rc_ref_seq, trimmed, wr_fwd, wr_rc = ent
     return _Job(read=read, record=record, strand=strand, read_idx=read_idx,
                 model=model, ref_name=ref_name, ref_offset=ref_offset,
                 ref_seq=ref_seq, rc_ref_seq=rc_ref_seq,
-                pair_segments=trimmed,
-                wranks_fwd=model.alphabet.seq_to_kmer_ranks(ref_seq, k),
-                wranks_rc=model.alphabet.seq_to_kmer_ranks(rc_ref_seq, k))
+                pair_segments=list(trimmed),
+                wranks_fwd=wr_fwd, wranks_rc=wr_rc)

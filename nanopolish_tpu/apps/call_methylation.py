@@ -636,30 +636,41 @@ def _forward_blocks_wire(lib, reg: _ScoreArrays, e1, estep, nev, ru_src,
     cat = jnp.concatenate([dev[:b, 0] for _, dev, b in pending]) \
         if len(pending) > 1 else pending[0][1][:pending[0][2], 0]
 
-    def fetch():
-        from ..utils.syncstats import timed_fetch
-        flat = timed_fetch(cat)
+    def finish(flat):
         off = 0
         for sel, _dev, b in pending:
             out[sel] = flat[off:off + b]
             off += b
         return out
 
-    return fetch
+    def fetch():
+        from ..utils.syncstats import timed_fetch
+        return finish(timed_fetch(cat))
+
+    return cat, finish, fetch
 
 
-def score_batch_arrays(tasks, reg: _ScoreArrays):
+def score_batch_arrays(tasks, reg: _ScoreArrays, defer: bool = False):
     """Score every task block with batched gathers + one async kernel
     sweep; returns a zero-arg resolve() that fetches the scores and fills
     the site_score_maps (run it on a worker thread to overlap the relay
     round trip with the next chunk's ingest/geometry).  Scores are
     bit-identical to score_batch: same f32 level slices, same calibrated
-    table gathers, same padding values, same row-bucketed kernel."""
+    table gathers, same padding values, same row-bucketed kernel.
+
+    With defer=True (TPU wire path only) no fetch is issued: the return
+    is ("defer", cat_device, n_values, finisher) and the caller fetches
+    MANY chunks' concatenated score vectors in ONE device sync, then
+    calls finisher(flat_slice) per chunk — the per-chunk score fetch was
+    one relay round trip each (16 syncs per 512-read batch at the
+    default chunking)."""
     from ..alignment.segments import forward_arrays_async
 
     from ..utils.profiler import profile_scope as _ps
     blocks = [b for t in tasks for b in t["blocks"]]
     if not blocks:
+        if defer:
+            return ("defer", None, 0, lambda flat: None)
         return lambda: None
 
     def cat(key):
@@ -690,9 +701,13 @@ def score_batch_arrays(tasks, reg: _ScoreArrays):
     if (on_tpu and lib is not None and lib._build_hmm_wire is not None
             and os.environ.get("NPT_METH_WIRE", "1") != "0"):
         with _ps("meth.drain_dispatch"):
-            fetch = _forward_blocks_wire(lib, reg, e1, estep, nev, ru_src,
-                                         ru_start, rstep, rm_src, rm_start,
-                                         nk, lev_id, tab_id, epb)
+            cat, finish, fetch = _forward_blocks_wire(
+                lib, reg, e1, estep, nev, ru_src, ru_start, rstep,
+                rm_src, rm_start, nk, lev_id, tab_id, epb)
+        if defer:
+            def finisher(flat_slice, _finish=finish, _tasks=tasks, _G=G):
+                _make_resolver(_tasks, lambda: _finish(flat_slice), _G)()
+            return ("defer", cat, int(cat.shape[0]), finisher)
         return _make_resolver(tasks, fetch, G)
 
     _g = _ps("meth.drain_gather"); _g.__enter__()
@@ -1222,6 +1237,13 @@ def _call_single(opt, out):
     use_array = os.environ.get("NPT_METH_ARRAY", "1") != "0"
     use_native = os.environ.get("NPT_METH_NATIVE", "1") != "0"
     pipe_chunk = max(1, int(os.environ.get("NPT_METH_CHUNK", "64")))
+    import jax
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    # batch-level score fetch (default on TPU): chunks dispatch as their
+    # ingest completes but ALL their score vectors resolve in ONE device
+    # sync per BAM batch — per-chunk fetches each paid a relay RTT
+    defer_fetch = use_array and on_tpu and \
+        os.environ.get("NPT_METH_FETCH", "batch") != "chunk"
 
     def load_chunk(records):
         names = sorted({rec.qname for _, rec in records})
@@ -1330,6 +1352,7 @@ def _call_single(opt, out):
                     done.popleft()
                     write_tasks(tasks)
 
+            pending_defer = []
             for ci, records in enumerate(subs):
                 tasks, reg = ing_futs.popleft().result()
                 if ci + lookahead < len(subs):
@@ -1337,14 +1360,30 @@ def _call_single(opt, out):
                         load_and_build, subs[ci + lookahead]))
                 if use_array:
                     with profile_scope("meth.drain_prep"):
-                        resolve = score_batch_arrays(tasks, reg)
-                    done.append((tasks, fetch_pool.submit(resolve)))
+                        r = score_batch_arrays(tasks, reg,
+                                               defer=defer_fetch)
+                    if isinstance(r, tuple) and r[0] == "defer":
+                        pending_defer.append((tasks,) + r[1:])
+                    else:
+                        done.append((tasks, fetch_pool.submit(r)))
                 else:
                     score_batch(tasks)
                     done.append((tasks, None))
                 drain(block=False)
             # ordered output per batch (BamProcessor batch_func semantics)
             drain(block=True)
+            if pending_defer:
+                import jax.numpy as jnp
+
+                from ..utils.syncstats import timed_fetch
+                devs = [c for _, c, nv, _ in pending_defer if nv]
+                flat = timed_fetch(jnp.concatenate(devs)) if devs \
+                    else np.zeros(0, np.float32)
+                off = 0
+                for tasks, _c, nv, fin in pending_defer:
+                    fin(flat[off:off + nv])
+                    off += nv
+                    write_tasks(tasks)
     if bam_writer is not None:
         bam_writer.close()
     proc.close()

@@ -123,6 +123,8 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
     region_end = (proc.clip_end - 1) if (opt.window and proc.clip_end >= 0) \
         else -1
     output_scores = getattr(opt, "output_scores", False) and out is not None
+    job_cache = None if read_cache is None else \
+        read_cache.setdefault("__jobs__", {})
     for batch in proc.batches():
         names = sorted({rec.qname for _, rec in batch})
         if read_cache is not None and all(n_ in read_cache for n_ in names):
@@ -153,7 +155,7 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
         alignments = align_reads_to_ref(jobs, fai, proc.references,
                                         region_start, region_end,
                                         alphabet=alphabet.name,
-                                        columnar=True)
+                                        columnar=True, job_cache=job_cache)
         for (sr, rec, strand, read_idx), cols in zip(jobs, alignments):
             if cols is None or len(cols) == 0:
                 continue
@@ -197,8 +199,8 @@ def retrain_model_from_events(model: PoreModel, summaries,
     alphabet = model.alphabet
     k = model.k
     R = model.level_mean.shape[0]
-    kmers = [alphabet.rank_to_kmer(r, k) for r in range(R)]
-    is_m = np.array(["M" in km for km in kmers])
+    kmers = alphabet.all_kmers(k)
+    is_m = np.char.find(np.array(kmers, dtype="U"), "M") >= 0
     n_events = np.array([len(s.events) for s in summaries])
     update = np.ones(R, bool)
     if training_target == "methylated":
@@ -220,8 +222,9 @@ def retrain_model_from_events(model: PoreModel, summaries,
         sd0 = np.ones((idx.size, 2), np.float32)
         for bi, r in enumerate(idx):
             ev = summaries[r].events
-            levels[bi, :len(ev)] = [e[0] for e in ev]
-            svar[bi, :len(ev)] = [e[1] for e in ev]
+            arr = np.asarray(ev, np.float32)
+            levels[bi, :len(ev)] = arr[:, 0]
+            svar[bi, :len(ev)] = arr[:, 1]
             mask[bi, :len(ev)] = True
             if is_m[r]:
                 logw0[bi, 0] = np.log(1 - INCOMPLETE_METHYLATION_RATE)
@@ -235,8 +238,14 @@ def retrain_model_from_events(model: PoreModel, summaries,
                 sd0[bi] = (model.level_stdv[r], 1.0)
         fit = train_gaussian_mixture_batched(levels, svar, mask, logw0,
                                              mu0, sd0)
-        new_mean[idx] = np.asarray(fit.means)[:, 0]
-        new_stdv[idx] = np.asarray(fit.stdvs)[:, 0]
+        # one accounted fetch for both trained arrays (syncstats triple)
+        import jax.numpy as jnp
+
+        from ..utils.syncstats import timed_fetch
+        fetched = timed_fetch(jnp.concatenate([fit.means[:, 0],
+                                               fit.stdvs[:, 0]]))
+        new_mean[idx] = fetched[:idx.size]
+        new_stdv[idx] = fetched[idx.size:]
 
     if summary_fp is not None:
         for r in range(R):

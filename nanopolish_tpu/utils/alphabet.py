@@ -31,6 +31,7 @@ from .iupac import IUPAC_POSSIBLE, UNAMBIGUOUS
 METHYLATED_SYMBOL = "M"
 
 _POWERS_CACHE: Dict[Tuple[int, int], np.ndarray] = {}
+_ALL_KMERS_CACHE: Dict[str, dict] = {}
 
 
 def _rank_powers(size: int, k: int) -> np.ndarray:
@@ -154,6 +155,16 @@ class Alphabet:
             out.append(self.bases[rank % self.size])
             rank //= self.size
         return "".join(reversed(out))
+
+    def all_kmers(self, k: int) -> list:
+        """All size**k kmers in rank order, memoized (per-round consumers
+        like methyltrain enumerate the full table every round)."""
+        cache = _ALL_KMERS_CACHE.setdefault(self.name, {})
+        got = cache.get(k)
+        if got is None:
+            got = cache[k] = [self.rank_to_kmer(r, k)
+                              for r in range(self.size ** k)]
+        return got
 
     def lexicographic_next(self, kmer: str) -> str:
         """The next k-mer in lexicographic order (wraps like the reference)."""

@@ -34,6 +34,10 @@ from nanopolish_tpu.utils.synthetic import random_sequence, synthetic_raw_signal
 
 N_READS = int(os.environ.get("NPT_E2E_READS", "32"))
 READ_LEN = int(os.environ.get("NPT_E2E_READLEN", "1800"))
+# fraction of reads written as SPLICED records (two aligned segments
+# around an N gap) — these are ineligible for the device chain and
+# measure the host-wavefront fallback share on realistic mixtures
+SPLICED = float(os.environ.get("NPT_E2E_SPLICED", "0"))
 
 
 def build_corpus(d):
@@ -49,14 +53,24 @@ def build_corpus(d):
         for i in range(0, genome_len, 60):
             fh.write(genome[i:i + 60] + "\n")
 
-    plan = [(f"r{i:04d}", 150 * i, bool(i % 3 == 1)) for i in range(N_READS)]
+    plan = [(f"r{i:04d}", 150 * i, bool(i % 3 == 1),
+             SPLICED > 0 and (i % max(int(round(1 / SPLICED)), 1) == 2))
+            for i in range(N_READS)]
+    gap = 400
+    half = READ_LEN // 2
     fastq = os.path.join(d, "reads.fastq")
     slow5 = os.path.join(d, "sig.blow5")
     with open(fastq, "w") as fq, Blow5Writer(slow5) as sw:
-        for name, pos, is_rev in plan:
-            seg = genome[pos:pos + READ_LEN]
+        for name, pos, is_rev, is_spliced in plan:
+            if is_spliced:
+                # two exons around an N gap: the basecall/signal cover
+                # the concatenated exonic sequence
+                seg = genome[pos:pos + half] + \
+                    genome[pos + half + gap:pos + half + gap + half]
+            else:
+                seg = genome[pos:pos + READ_LEN]
             basecall = DNA_ALPHABET.reverse_complement(seg) if is_rev else seg
-            fq.write(f"@{name}\n{basecall}\n+\n{'I' * READ_LEN}\n")
+            fq.write(f"@{name}\n{basecall}\n+\n{'I' * len(seg)}\n")
             sc = SquiggleScalings.from4(0.0, 1.0, 0.0, 1.0)
             pa = synthetic_raw_signal(rng, basecall, nuc_model, sc,
                                       samples_per_base=10.0, leader=500,
@@ -68,23 +82,39 @@ def build_corpus(d):
 
     bam = os.path.join(d, "aln.bam")
     w = BamWriter(bam, "@HD\tVN:1.6\tSO:coordinate\n", ["tig1"], [genome_len])
-    for name, pos, is_rev in sorted(plan, key=lambda t: t[1]):
-        seg = genome[pos:pos + READ_LEN]
+    for name, pos, is_rev, is_spliced in sorted(plan, key=lambda t: t[1]):
+        if is_spliced:
+            seg = genome[pos:pos + half] + \
+                genome[pos + half + gap:pos + half + gap + half]
+            cigar = [(0, half), (3, gap), (0, half)]
+        else:
+            seg = genome[pos:pos + READ_LEN]
+            cigar = [(0, READ_LEN)]
         w.write(BamRecord(qname=name, flag=16 if is_rev else 0, tid=0,
-                          pos=pos, mapq=60, cigar=[(0, READ_LEN)], seq=seg,
-                          qual=np.full(READ_LEN, 30, np.uint8)))
+                          pos=pos, mapq=60, cigar=cigar, seq=seg,
+                          qual=np.full(len(seg), 30, np.uint8)))
     w.close()
     return fastq, bam, ref_fa
 
 
 def run_once(fastq, bam, ref_fa):
+    from nanopolish_tpu.alignment.device_chain import (CHAIN_STATS,
+                                                       reset_chain_stats)
+    from nanopolish_tpu.utils import profiler
     from nanopolish_tpu.utils.syncstats import SYNC_STATS
 
+    reset_chain_stats()
+    before = profiler.snapshot()
     out = io.StringIO()
     with SYNC_STATS.capture() as snap:
         t0 = time.perf_counter()
         ea_app.main(["-r", fastq, "-b", bam, "-g", ref_fa], stdout=out)
         dt = time.perf_counter() - t0
+    after = profiler.snapshot()
+    snap.stages = {k: round(after[k][1] - before.get(k, (0, 0.0))[1], 3)
+                   for k in after
+                   if after[k][1] - before.get(k, (0, 0.0))[1] > 0.001}
+    snap.chain = dict(CHAIN_STATS)
     rows = out.getvalue().count("\n") - 1
     return dt, rows, snap
 
@@ -126,12 +156,18 @@ def main():
                 dt, rows, snap = run_once(fastq, bam, ref_fa)
             if tag == "warm":
                 check_sync_ceiling(snap)
+            ch = snap.chain
+            tot = ch["chained"] + ch["ineligible"] + ch["aborted"]
             print(json.dumps({"pass": tag, "reads": N_READS, "rows": rows,
                               "s": round(dt, 1),
                               "rows_per_s": round(rows / dt, 1),
                               "reads_per_s": round(N_READS / dt, 2),
-                              "host_s": round(dt - snap.blocked_s, 2),
-                              **snap.as_dict()}),
+                              "host_s": round(max(dt - snap.blocked_s, 0), 2),
+                              **snap.as_dict(),
+                              "chain": ch,
+                              "chained_frac": round(ch["chained"] / tot, 3)
+                              if tot else None,
+                              "stages": snap.stages}),
                   flush=True)
 
 
