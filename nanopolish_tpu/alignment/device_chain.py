@@ -149,13 +149,15 @@ def stage_job(job) -> Optional[DeviceJob]:
 # the device program
 # ---------------------------------------------------------------------------
 
-def _chain_program(pairs_ref, pairs_read, n_pairs, a_pos, b2_pos, c0_pos,
-                   n_ranks, levels, n_levels, closest, n_closest,
-                   trans8, start_ev0, start_ref0, last_event, fwd,
-                   ref_offset, k_arr, max_rounds, max_rows):
+def _chain_program(wire, B, P, Rk, L, Nc, k_arr, max_rounds, max_rows):
     """jit-compiled chain: returns (packed rows, per-round anchors,
     cursor, done, aborted) after running every job's chain to
     completion (or abort).
+
+    Inputs ride ONE packed f32 wire (ints bitcast) sliced apart here —
+    each separate host->device array costs a relay round trip, and the
+    chain's fixed cost was measured (tools/chain_ablate.py) to be ~0.8 s
+    of a 1.08 s call at B=256 with 19 separate transfers.
 
     Loop-body economy (the while body runs ~rows/OUTPUT_STRIDE times, so
     its per-iteration cost IS the batch's device time):
@@ -179,7 +181,36 @@ def _chain_program(pairs_ref, pairs_read, n_pairs, a_pos, b2_pos, c0_pos,
     # attribution only — never set in production)
     _abl = set(os.environ.get("NPT_CHAIN_ABLATE", "").split(","))
 
-    B = pairs_ref.shape[0]
+    def ibits(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    off = 0
+
+    def take(n, shape=None, as_int=False):
+        nonlocal off
+        piece = wire[off:off + n]        # static offsets: plain slices
+        off += n
+        if as_int:
+            piece = ibits(piece)
+        return piece.reshape(shape) if shape is not None else piece
+
+    pairs_ref = take(B * P, (B, P), as_int=True)
+    pairs_read = take(B * P, (B, P), as_int=True)
+    n_pairs = take(B, as_int=True)
+    a_pos = take(B * Rk, (B, Rk))
+    b2_pos = take(B * Rk, (B, Rk))
+    c0_pos = take(B * Rk, (B, Rk))
+    n_ranks = take(B, as_int=True)
+    levels = take(B * L, (B, L))
+    n_levels = take(B, as_int=True)
+    closest = take(B * Nc, (B, Nc), as_int=True)
+    n_closest = take(B, as_int=True)
+    trans8 = take(B * 8, (B, 8))
+    start_ev0 = take(B, as_int=True)
+    start_ref0 = take(B, as_int=True)
+    last_event = take(B, as_int=True)
+    fwd = take(B, as_int=True) > 0
+    ref_offset = take(B, as_int=True)
     ki = jnp.arange(KP, dtype=jnp.int32)
     ti = jnp.arange(TP, dtype=jnp.int32)
     rows_b = jnp.arange(B, dtype=jnp.int32)
@@ -361,7 +392,8 @@ def _get_chain_jit():
         import jax
         _chain_jit = jax.jit(
             _chain_program,
-            static_argnames=("max_rounds", "max_rows"))
+            static_argnames=("B", "P", "Rk", "L", "Nc", "k_arr",
+                             "max_rounds", "max_rows"))
     return _chain_jit
 
 
@@ -443,19 +475,29 @@ def run_device_chain(djobs: List[DeviceJob]) -> List[bool]:
     # genomic, < 2^31; the pad value must exceed any query)
     pairs_ref32 = np.minimum(pairs_ref, (1 << 31) - 2).astype(np.int32)
 
+    # ONE h2d transfer: ints bitcast into the f32 wire (layout mirrors
+    # _chain_program's take() sequence)
+    fi = np.float32
+    wire = np.concatenate([
+        pairs_ref32.view(fi).ravel(),
+        pairs_read.astype(np.int32).view(fi).ravel(),
+        n_pairs.astype(np.int32).view(fi),
+        a_pos.ravel(), b2_pos.ravel(), c0_pos.ravel(),
+        n_ranks.astype(np.int32).view(fi),
+        levels.ravel(),
+        n_levels.astype(np.int32).view(fi),
+        closest.view(fi).ravel(),
+        n_closest.astype(np.int32).view(fi),
+        trans8.ravel(),
+        start_ev.view(fi), start_ref.view(fi), last_event.view(fi),
+        fwd.astype(np.int32).view(fi), ref_offset.view(fi),
+    ])
+
     _b.__exit__(None, None, None)
     fn = _get_chain_jit()
     packed, anch_ev, anch_ref, anch_cur, cursor, done, aborted = fn(
-        jnp.asarray(pairs_ref32), jnp.asarray(pairs_read.astype(np.int32)),
-        jnp.asarray(n_pairs.astype(np.int32)),
-        jnp.asarray(a_pos), jnp.asarray(b2_pos), jnp.asarray(c0_pos),
-        jnp.asarray(n_ranks.astype(np.int32)), jnp.asarray(levels),
-        jnp.asarray(n_levels.astype(np.int32)), jnp.asarray(closest),
-        jnp.asarray(n_closest.astype(np.int32)), jnp.asarray(trans8),
-        jnp.asarray(start_ev), jnp.asarray(start_ref),
-        jnp.asarray(last_event), jnp.asarray(fwd),
-        jnp.asarray(ref_offset), jnp.int32(djobs[0].job.model.k),
-        max_rounds, max_rows)
+        jnp.asarray(wire), B, P, Rk, L, Nc,
+        int(djobs[0].job.model.k), max_rounds, max_rows)
     flat = timed_fetch(jnp.concatenate(
         [packed.reshape(-1), anch_ev.reshape(-1), anch_ref.reshape(-1),
          anch_cur.reshape(-1),

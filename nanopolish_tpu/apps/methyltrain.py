@@ -28,7 +28,7 @@ from ..models.calibration import recalibrate_model_columns
 from ..models.pore_model import PoreModel, PoreModelSet
 from ..models.read_builder import GLOBAL_READ_STATS
 from ..models.read_loader import load_squiggle_reads
-from ..ops.mixture_em import train_gaussian_mixture_batched
+from ..ops.mixture_em import train_gaussian_mixture_packed
 from .bam_processor import BamBatchProcessor
 
 # defaults (methyltrain.cpp:144-148)
@@ -82,9 +82,32 @@ def _consume_columns(cols, sr, strand, summaries, event_count,
         return
     sc = sr.scalings[strand]
     svar = sc.var / sc.scale
-    r_sel = ranks[sel].tolist()
-    l_sel = [float(x) for x in lvl[sel]]
-    for rank, level in zip(r_sel, l_sel):
+    r_arr = ranks[sel]
+    l_arr = lvl[sel]
+    n_states = len(summaries)
+    counts_new = np.bincount(r_arr, minlength=n_states)
+
+    # ranks that stay under the reservoir cap take a grouped bulk
+    # append (no rng draws happen below the cap, so only the relative
+    # order of OVER-cap ranks' events feeds the rng stream — preserved
+    # by the scalar tail below); identical output to the scalar loop
+    over = (event_count + counts_new > MAX_EVENTS) & (counts_new > 0)
+    over_mask = over[r_arr]
+    bulk = np.flatnonzero(~over_mask)
+    if bulk.size:
+        import itertools
+        order = bulk[np.argsort(r_arr[bulk], kind="stable")]
+        rs = r_arr[order]
+        ls = l_arr[order]
+        bounds = np.flatnonzero(np.diff(rs)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(rs)]])
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            summaries[int(rs[s0])].events.extend(
+                zip(ls[s0:e0].tolist(), itertools.repeat(svar)))
+        np.add.at(event_count, rs[starts], ends - starts)
+    scal = np.flatnonzero(over_mask)
+    for rank, level in zip(r_arr[scal].tolist(), l_arr[scal].tolist()):
         c = event_count[rank] = event_count[rank] + 1
         summ_events = summaries[rank].events
         # reservoir sampling (methyltrain.cpp:310-327)
@@ -236,8 +259,8 @@ def retrain_model_from_events(model: PoreModel, summaries,
                 logw0[bi, 0] = 0.0
                 mu0[bi] = (model.level_mean[r], 1.0)
                 sd0[bi] = (model.level_stdv[r], 1.0)
-        fit = train_gaussian_mixture_batched(levels, svar, mask, logw0,
-                                             mu0, sd0)
+        fit = train_gaussian_mixture_packed(levels, svar, mask, logw0,
+                                            mu0, sd0)
         # one accounted fetch for both trained arrays (syncstats triple)
         import jax.numpy as jnp
 

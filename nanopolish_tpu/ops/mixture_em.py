@@ -76,6 +76,38 @@ def train_gaussian_mixture_batched(levels, scaled_read_var, mask,
     return MixtureFit(log_weights=log_w, means=mu, stdvs=sd)
 
 
+@functools.partial(jax.jit, static_argnames=("R", "N", "C", "n_iter"))
+def _train_gm_wire(wire, R, N, C, n_iter):
+    o = 0
+    levels = wire[o:o + R * N].reshape(R, N); o += R * N
+    svar = wire[o:o + R * N].reshape(R, N); o += R * N
+    mask = wire[o:o + R * N].reshape(R, N) > 0.5; o += R * N
+    logw0 = wire[o:o + R * C].reshape(R, C); o += R * C
+    mu0 = wire[o:o + R * C].reshape(R, C); o += R * C
+    sd0 = wire[o:o + R * C].reshape(R, C)
+    return train_gaussian_mixture_batched(levels, svar, mask, logw0,
+                                          mu0, sd0, n_iter=n_iter)
+
+
+def train_gaussian_mixture_packed(levels, scaled_read_var, mask,
+                                  log_weights0, means0, stdvs0,
+                                  n_iter: int = 10) -> MixtureFit:
+    """train_gaussian_mixture_batched with all six inputs riding ONE
+    host->device transfer (each separate array pays a relay round trip
+    on remotely-attached chips)."""
+    import numpy as np
+    R, N = np.shape(levels)
+    C = np.shape(means0)[1]
+    wire = np.concatenate([
+        np.asarray(levels, np.float32).ravel(),
+        np.asarray(scaled_read_var, np.float32).ravel(),
+        np.asarray(mask, np.float32).ravel(),
+        np.asarray(log_weights0, np.float32).ravel(),
+        np.asarray(means0, np.float32).ravel(),
+        np.asarray(stdvs0, np.float32).ravel()])
+    return _train_gm_wire(jnp.asarray(wire), R, N, C, n_iter)
+
+
 class InvGaussFit(NamedTuple):
     sd_means: jnp.ndarray      # [R, C] eta (IG mean of event stdv)
     sd_lambdas: jnp.ndarray    # [R, C] shape (held fixed, as the reference)

@@ -90,14 +90,21 @@ def _capture_segments():
         captured.extend(segments)
         return orig(segments, *a, **k)
 
+    import nanopolish_tpu.apps.phase_reads as pr
+    import nanopolish_tpu.apps.scorereads as sc
+
     seg.forward_segments = spy
     cm.forward_segments = spy
     var.forward_segments = spy
+    sc.forward_segments = spy
+    pr.forward_segments = spy
 
     def restore():
         seg.forward_segments = orig
         cm.forward_segments = orig
         var.forward_segments = orig
+        sc.forward_segments = orig
+        pr.forward_segments = orig
     return captured, restore
 
 
@@ -482,6 +489,68 @@ def run_methyltrain(vb, ba):
     return est
 
 
+def run_scorereads(fb, vb, ba):
+    """scorereads denominator: the reference re-aligns each read
+    (chained Viterbi windows, scorereads.cpp:306-462 via model_score ->
+    align_read_to_ref) then Forward-scores 500-event segments
+    (scorereads.cpp:116-203); charge viterbi + forward + per-read
+    ingest, idealized 16 threads."""
+    ps = _load_tool("perf_e2e_scorereads")
+    cap_f, restore_f = _capture_segments()
+    cap_v, restore_v = _capture_viterbi_segments()
+    with tempfile.TemporaryDirectory() as d:
+        fastq, bam, ref_fa = ps.build_corpus(d)
+        import io
+
+        from nanopolish_tpu.apps import scorereads as sc_app
+        out = io.StringIO()
+        sc_app.main(["-r", fastq, "-b", bam, "-g", ref_fa], stdout=out)
+        t_hmm, hmm_cells, _ = _time_hmm(fb, cap_f)
+        t_vit, v_cells = _time_viterbi(vb, cap_v)
+        t_banded, t_detect, b_cells, n_reads = _time_ingest(ba, d, fastq)
+    restore_f()
+    restore_v()
+    total_1t = t_hmm + t_vit + t_banded + t_detect
+    est = ps.N_READS / (total_1t / THREADS)
+    print(json.dumps({
+        "app": "scorereads", "reads": ps.N_READS,
+        "fwd_segments": len(cap_f), "vit_segments": len(cap_v),
+        "t_hmm_1t_s": round(t_hmm, 2), "t_viterbi_1t_s": round(t_vit, 2),
+        "t_banded_1t_s": round(t_banded, 2),
+        "t_detect_1t_s": round(t_detect, 2),
+        "est_cpu_16t_reads_per_s": round(est, 1)}), flush=True)
+    return est
+
+
+def run_phase(fb, ba):
+    """phase-reads denominator: ref-vs-alt Forward per (read, SNP)
+    (phase_reads.cpp:178-347) + per-read ingest, idealized 16
+    threads."""
+    pp = _load_tool("perf_e2e_phase")
+    cap_f, restore_f = _capture_segments()
+    with tempfile.TemporaryDirectory() as d:
+        fastq, bam, ref_fa, vcf = pp.build_corpus(d)
+        import io
+
+        from nanopolish_tpu.apps import phase_reads as pr_app
+        out = io.StringIO()
+        pr_app.main(["-r", fastq, "-b", bam, "-g", ref_fa, vcf],
+                    stdout=out)
+        t_hmm, hmm_cells, _ = _time_hmm(fb, cap_f)
+        t_banded, t_detect, b_cells, n_reads = _time_ingest(ba, d, fastq)
+    restore_f()
+    total_1t = t_hmm + t_banded + t_detect
+    est = pp.N_READS / (total_1t / THREADS)
+    print(json.dumps({
+        "app": "phase-reads", "reads": pp.N_READS,
+        "fwd_segments": len(cap_f), "hmm_cells": hmm_cells,
+        "t_hmm_1t_s": round(t_hmm, 2),
+        "t_banded_1t_s": round(t_banded, 2),
+        "t_detect_1t_s": round(t_detect, 2),
+        "est_cpu_16t_reads_per_s": round(est, 1)}), flush=True)
+    return est
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     fb, vb, ba = _bind()
@@ -495,6 +564,10 @@ def main():
         run_polya(ba)
     if which in ("methyltrain", "all"):
         run_methyltrain(vb, ba)
+    if which in ("scorereads", "all"):
+        run_scorereads(fb, vb, ba)
+    if which in ("phase", "all"):
+        run_phase(fb, ba)
 
 
 if __name__ == "__main__":

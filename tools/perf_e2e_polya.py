@@ -97,7 +97,8 @@ def main():
     with tempfile.TemporaryDirectory() as d:
         fastq, bam, ref_fa = build_corpus(d)
         from nanopolish_tpu.utils.syncstats import SYNC_STATS
-        for tag in ("cold", "warm"):
+
+        def run_once(tag):
             out = io.StringIO()
             with SYNC_STATS.capture() as snap:
                 t0 = time.perf_counter()
@@ -106,15 +107,25 @@ def main():
                 dt = time.perf_counter() - t0
             rows = [l.split("\t") for l in out.getvalue().splitlines()[1:]]
             tails = [float(f[8]) for f in rows if f[9] == "PASS"]
-            print(json.dumps({
-                "pass": tag, "reads": N_READS, "s": round(dt, 1),
+            rec = {
+                "pass": tag, "reads": N_READS, "s": round(dt, 2),
                 "reads_per_s": round(N_READS / dt, 2),
                 "n_pass": len(tails),
-                "host_s": round(dt - snap.blocked_s, 2),
+                "host_s": round(max(dt - snap.blocked_s, 0), 2),
                 **snap.as_dict(),
                 "tail_nt_mean": round(float(np.mean(tails)), 1)
                 if tails else None,
-                "planted_nt": POLYA_NT}), flush=True)
+                "planted_nt": POLYA_NT}
+            print(json.dumps(rec), flush=True)
+            return dt, rec
+
+        run_once("cold")
+        best = None
+        for _ in range(int(os.environ.get("NPT_E2E_REPS", "3"))):
+            dt, rec = run_once("warm_sample")
+            if best is None or dt < best[0]:
+                best = (dt, rec)
+        print(json.dumps({**best[1], "pass": "warm"}), flush=True)
 
 
 if __name__ == "__main__":
