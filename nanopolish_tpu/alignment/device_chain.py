@@ -49,6 +49,7 @@ def reset_chain_stats():
 
 TP = 512             # padded event rows per window
 KP = 128             # padded kmer lanes per window (l <= 101 => nk <= 96)
+CHAIN_W = 64         # per-round output block (regular rounds keep <= 50)
 NEG = -1.0e30
 
 
@@ -217,13 +218,15 @@ def _chain_program(wire, B, P, Rk, L, Nc, k_arr, max_rounds, max_rows):
     clips0 = jnp.zeros((B, 2), jnp.float32)
 
     def vsearch(mat, vals):
-        # first index with mat[b, i] > vals[b] (ascending rows)
-        return jax.vmap(
-            lambda a, v: jnp.searchsorted(a, v, side="right"))(mat, vals)
+        # first index with mat[b, i] > vals[b] (ascending rows, padded
+        # with a sentinel above any query).  A broadcast compare-sum is
+        # one predictable [B, P] vector op; the vmapped binary search it
+        # replaces was ~5 ms/iteration at B=256 (tools/chain_ablate.py)
+        return jnp.sum((mat <= vals[:, None]).astype(jnp.int32), axis=1)
 
     def body(carry):
         (rnd, start_ev, start_ref, done, aborted, cursor,
-         out_pk, anch_ev, anch_ref, anch_cur) = carry
+         out_reg, tail, tail_round, anch_ev, anch_ref, anch_cur) = carry
         active = (~done) & (~aborted)
 
         # loop condition (eventalign.cpp:689-690)
@@ -337,13 +340,29 @@ def _chain_program(wire, B, P, Rk, L, Nc, k_arr, max_rounds, max_rows):
         pk_row = (ti[None, :] | (is_m << 9)
                   | ((base_km + 256) << 10)).astype(jnp.int32)
 
-        dump = max_rows
-        dest = jnp.where(keep, cursor[:, None] + order - 1, dump)
-        b2d = jnp.broadcast_to(rows_b[:, None], dest.shape)
-        if "scatter" in _abl:
-            out_pk = out_pk.at[:, :1].add(pk_row[:, :1] * 0 + dest[:, :1] * 0)
-        else:
-            out_pk = out_pk.at[b2d, dest].set(pk_row)
+        # Emission WITHOUT a scatter (XLA scatter was ~1/3 of the body,
+        # tools/chain_ablate.py): regular rounds keep <= OUTPUT_STRIDE
+        # rows, compacted to W slots via top_k over (TP - ti) (kept rows
+        # in ti order) and written as one contiguous dynamic slice at
+        # the round's block; the single last-section round (unbounded
+        # kept count) lands raw+flagged in a [B, TP] tail buffer that
+        # the host compacts.
+        reg_keep = keep & (~last_sec[:, None])
+        key = jnp.where(reg_keep, TP - ti[None, :], -1)
+        kvals, kidx = jax.lax.top_k(key, CHAIN_W)
+        slot_ok = kvals > 0
+        pk64 = jnp.where(slot_ok,
+                         jnp.take_along_axis(pk_row, kidx, axis=1), 0)
+        out_reg = jax.lax.dynamic_update_slice_in_dim(
+            out_reg, pk64, rnd * CHAIN_W, axis=1)
+
+        emit_tail = last_sec & (nkept > 0) & active
+        # a chain whose final pair window emits twice cannot use the
+        # single tail buffer: host fallback
+        aborted = aborted | (emit_tail & (tail_round >= 0))
+        tail = jnp.where(emit_tail[:, None],
+                         jnp.where(keep, pk_row, -1), tail)
+        tail_round = jnp.where(emit_tail, rnd, tail_round)
 
         # re-anchor from the last kept row (_consume tail)
         t_last = jnp.max(jnp.where(keep, ti[None, :], -1), axis=1)
@@ -356,7 +375,7 @@ def _chain_program(wire, B, P, Rk, L, Nc, k_arr, max_rounds, max_rows):
         start_ref = jnp.where(upd, new_ref, start_ref)
         cursor = jnp.where(upd, cursor + nkept, cursor)
         return (rnd + 1, start_ev, start_ref, done, aborted, cursor,
-                out_pk, anch_ev, anch_ref, anch_cur)
+                out_reg, tail, tail_round, anch_ev, anch_ref, anch_cur)
 
     def cond(carry):
         import jax.numpy as jnp
@@ -367,20 +386,34 @@ def _chain_program(wire, B, P, Rk, L, Nc, k_arr, max_rounds, max_rows):
     init = (jnp.int32(0), start_ev0, start_ref0,
             jnp.zeros(B, bool), jnp.zeros(B, bool),
             jnp.zeros(B, jnp.int32),
-            jnp.zeros((B, max_rows + 1), jnp.int32),
+            jnp.zeros((B, max_rounds * CHAIN_W), jnp.int32),
+            jnp.zeros((B, TP), jnp.int32),
+            jnp.full(B, -1, jnp.int32),
             jnp.zeros((B, max_rounds), jnp.int32),
             jnp.zeros((B, max_rounds), jnp.int32),
             jnp.zeros((B, max_rounds), jnp.int32))
     import jax
-    (rnd, _, _, done, aborted, cursor, out_pk, anch_ev, anch_ref,
-     anch_cur) = jax.lax.while_loop(cond, body, init)
+    (rnd, _, _, done, aborted, cursor, out_reg, tail, tail_round,
+     anch_ev, anch_ref, anch_cur) = jax.lax.while_loop(cond, body, init)
     # chains that exhausted the round budget fall back to the host path
     aborted = aborted | (~done)
     # rounds past the loop's exit hold their zero init; close the cursor
     # chain so host-side per-round row counts (diffs) are exact
     colsr = jnp.arange(max_rounds, dtype=jnp.int32)[None, :]
     anch_cur = jnp.where(colsr >= rnd, cursor[:, None], anch_cur)
-    return out_pk, anch_ev, anch_ref, anch_cur, cursor, done, aborted
+
+    # one post-loop gather compacts the round blocks to cursor layout
+    # (tail-round positions hold junk the host patches from `tail`)
+    j = jnp.arange(max_rows + 1, dtype=jnp.int32)
+    jq = jnp.broadcast_to(j[None, :], (B, max_rows + 1))
+    r_of_j = jax.vmap(
+        lambda c, q: jnp.searchsorted(c, q, side="right"))(anch_cur, jq) - 1
+    r_of_j = jnp.clip(r_of_j, 0, max_rounds - 1)
+    base = jnp.take_along_axis(anch_cur, r_of_j, axis=1)
+    off_j = jnp.clip(jq - base, 0, CHAIN_W - 1)
+    out_pk = jnp.take_along_axis(out_reg, r_of_j * CHAIN_W + off_j, axis=1)
+    return (out_pk, tail, tail_round, anch_ev, anch_ref, anch_cur,
+            cursor, done, aborted)
 
 
 _chain_jit = None
@@ -495,22 +528,27 @@ def run_device_chain(djobs: List[DeviceJob]) -> List[bool]:
 
     _b.__exit__(None, None, None)
     fn = _get_chain_jit()
-    packed, anch_ev, anch_ref, anch_cur, cursor, done, aborted = fn(
-        jnp.asarray(wire), B, P, Rk, L, Nc,
-        int(djobs[0].job.model.k), max_rounds, max_rows)
+    (packed, tail, tail_round, anch_ev, anch_ref, anch_cur, cursor, done,
+     aborted) = fn(jnp.asarray(wire), B, P, Rk, L, Nc,
+                   int(djobs[0].job.model.k), max_rounds, max_rows)
     flat = timed_fetch(jnp.concatenate(
-        [packed.reshape(-1), anch_ev.reshape(-1), anch_ref.reshape(-1),
-         anch_cur.reshape(-1),
+        [packed.reshape(-1), tail.reshape(-1), anch_ev.reshape(-1),
+         anch_ref.reshape(-1), anch_cur.reshape(-1), tail_round,
          cursor.astype(jnp.int32), done.astype(jnp.int32),
          aborted.astype(jnp.int32)]))
     sz = B * (max_rows + 1)
+    tz = B * TP
     az = B * max_rounds
     pk = flat[:sz].reshape(B, max_rows + 1)
-    aev = flat[sz:sz + az].reshape(B, max_rounds)
-    aref = flat[sz + az:sz + 2 * az].reshape(B, max_rounds)
-    acur = flat[sz + 2 * az:sz + 3 * az].reshape(B, max_rounds)
-    cur = flat[sz + 3 * az:sz + 3 * az + B]
-    ab = flat[sz + 3 * az + 2 * B:sz + 3 * az + 3 * B]
+    tl = flat[sz:sz + tz].reshape(B, TP)
+    o = sz + tz
+    aev = flat[o:o + az].reshape(B, max_rounds)
+    aref = flat[o + az:o + 2 * az].reshape(B, max_rounds)
+    acur = flat[o + 2 * az:o + 3 * az].reshape(B, max_rounds)
+    o += 3 * az
+    trnd = flat[o:o + B]
+    cur = flat[o + B:o + 2 * B]
+    ab = flat[o + 3 * B:o + 4 * B]
 
     _u = profile_scope("ea.chain_unpack"); _u.__enter__()
     ok = []
@@ -519,15 +557,26 @@ def run_device_chain(djobs: List[DeviceJob]) -> List[bool]:
             CHAIN_STATS["aborted"] += 1
             ok.append(False)
             continue
-        CHAIN_STATS["chained"] += 1
         n = int(cur[i])
-        job = d.job
         p = pk[i, :n].astype(np.int64)
+        # row -> round via the cursor chain; absolutes from the anchors
+        counts = np.diff(np.append(acur[i], n))
+        tr = int(trnd[i])
+        if tr >= 0:
+            # patch the tail round's rows from the raw flagged buffer
+            traw = tl[i]
+            trows = traw[traw >= 0].astype(np.int64)
+            seg0 = int(acur[i][tr])
+            if len(trows) != counts[tr]:
+                CHAIN_STATS["aborted"] += 1
+                ok.append(False)
+                continue
+            p[seg0:seg0 + counts[tr]] = trows
+        CHAIN_STATS["chained"] += 1
+        job = d.job
         t_of = p & 0x1FF
         is_m = (p >> 9) & 1
         bkm = ((p >> 10) & 0x3FF) - 256
-        # row -> round via the cursor chain; absolutes from the anchors
-        counts = np.diff(np.append(acur[i], n))
         rof = np.repeat(np.arange(len(counts)), counts)
         ae = aev[i][rof]
         stride = 2 * (ae & 1) - 1

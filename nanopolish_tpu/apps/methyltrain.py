@@ -50,14 +50,13 @@ class KmerSummary:
         self.num_stays = 0
 
 
-def _consume_columns(cols, sr, strand, summaries, event_count,
-                     match_count, stay_count, rng):
-    """Vectorized add_aligned_events body (methyltrain.cpp:406-474) over
-    one job's column arrays: per-row model-kmer ranks come from the
+def _extract_job_events(cols, sr, strand, acc):
+    """Per-job half of the vectorized add_aligned_events body
+    (methyltrain.cpp:406-474): per-row model-kmer ranks from the
     whole-window rank arrays the wavefront scored with, the use-filter
-    (interior rows, M state, duration and scaled-level floors) is one
-    boolean pass, and only the surviving events run the scalar reservoir
-    (same visit order => identical rng stream as the row loop)."""
+    (interior rows, M state, duration and scaled-level floors) in one
+    boolean pass.  Appends (ranks, states, used ranks/levels/svar) to
+    the batch accumulator; _finalize_events reduces once per batch."""
     n = len(cols)
     if n == 0:
         return
@@ -65,8 +64,8 @@ def _consume_columns(cols, sr, strand, summaries, event_count,
     valid = ranks >= 0                      # B rows / invalid kmers skipped
     st = cols.state
     is_m = st == 77
-    np.add.at(match_count, ranks[valid & is_m], 1)
-    np.add.at(stay_count, ranks[valid & (st == 69)], 1)
+    acc["count_r"].append(ranks[valid])
+    acc["count_st"].append(st[valid])
 
     i = np.arange(n)
     ev = np.asarray(cols.event_idx, np.int64)
@@ -81,9 +80,25 @@ def _consume_columns(cols, sr, strand, summaries, event_count,
     if sel.size == 0:
         return
     sc = sr.scalings[strand]
-    svar = sc.var / sc.scale
-    r_arr = ranks[sel]
-    l_arr = lvl[sel]
+    acc["r"].append(ranks[sel])
+    acc["l"].append(lvl[sel])
+    acc["sv"].append(np.full(sel.size, sc.var / sc.scale))
+
+
+def _finalize_events(acc, summaries, event_count, match_count,
+                     stay_count, rng):
+    """Batch half: one concatenated pass over every job's used events,
+    in job order — identical reservoir stream to the per-row loop."""
+    if acc["count_r"]:
+        cr = np.concatenate(acc["count_r"])
+        cst = np.concatenate(acc["count_st"])
+        np.add.at(match_count, cr[cst == 77], 1)
+        np.add.at(stay_count, cr[cst == 69], 1)
+    if not acc["r"]:
+        return
+    r_arr = np.concatenate(acc["r"])
+    l_arr = np.concatenate(acc["l"])
+    sv_arr = np.concatenate(acc["sv"])
     n_states = len(summaries)
     counts_new = np.bincount(r_arr, minlength=n_states)
 
@@ -95,19 +110,20 @@ def _consume_columns(cols, sr, strand, summaries, event_count,
     over_mask = over[r_arr]
     bulk = np.flatnonzero(~over_mask)
     if bulk.size:
-        import itertools
         order = bulk[np.argsort(r_arr[bulk], kind="stable")]
         rs = r_arr[order]
-        ls = l_arr[order]
+        pairs = np.stack([l_arr[order], sv_arr[order]], axis=1)
         bounds = np.flatnonzero(np.diff(rs)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(rs)]])
         for s0, e0 in zip(starts.tolist(), ends.tolist()):
             summaries[int(rs[s0])].events.extend(
-                zip(ls[s0:e0].tolist(), itertools.repeat(svar)))
+                map(tuple, pairs[s0:e0].tolist()))
         np.add.at(event_count, rs[starts], ends - starts)
     scal = np.flatnonzero(over_mask)
-    for rank, level in zip(r_arr[scal].tolist(), l_arr[scal].tolist()):
+    for rank, level, svar in zip(r_arr[scal].tolist(),
+                                 l_arr[scal].tolist(),
+                                 sv_arr[scal].tolist()):
         c = event_count[rank] = event_count[rank] + 1
         summ_events = summaries[rank].events
         # reservoir sampling (methyltrain.cpp:310-327)
@@ -140,15 +156,27 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
     match_count = np.zeros(n_states, np.int64)
     stay_count = np.zeros(n_states, np.int64)
 
-    proc = BamBatchProcessor(opt.bam, region=opt.window,
-                             max_reads=opt.max_reads)
-    region_start = proc.clip_start if opt.window else -1
-    region_end = (proc.clip_end - 1) if (opt.window and proc.clip_end >= 0) \
-        else -1
     output_scores = getattr(opt, "output_scores", False) and out is not None
     job_cache = None if read_cache is None else \
         read_cache.setdefault("__jobs__", {})
-    for batch in proc.batches():
+    # decoded BAM batches + region bounds are round-invariant; cache them
+    # with the reads (the per-round re-decode was ~0.2 s/round at 256)
+    bam_cache = read_cache.get("__bam__") if read_cache is not None else None
+    if bam_cache is None:
+        proc = BamBatchProcessor(opt.bam, region=opt.window,
+                                 max_reads=opt.max_reads)
+        region_start = proc.clip_start if opt.window else -1
+        region_end = (proc.clip_end - 1) \
+            if (opt.window and proc.clip_end >= 0) else -1
+        batches = list(proc.batches())
+        references = proc.references
+        proc.close()
+        if read_cache is not None:
+            read_cache["__bam__"] = (batches, references, region_start,
+                                     region_end)
+    else:
+        batches, references, region_start, region_end = bam_cache
+    for batch in batches:
         names = sorted({rec.qname for _, rec in batch})
         if read_cache is not None and all(n_ in read_cache for n_ in names):
             reads = {}
@@ -175,10 +203,11 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
             for strand in (0, 1):
                 if sr.has_events_for_strand(strand):
                     jobs.append((sr, rec, strand, read_idx))
-        alignments = align_reads_to_ref(jobs, fai, proc.references,
+        alignments = align_reads_to_ref(jobs, fai, references,
                                         region_start, region_end,
                                         alphabet=alphabet.name,
                                         columnar=True, job_cache=job_cache)
+        acc = {"count_r": [], "count_st": [], "r": [], "l": [], "sv": []}
         for (sr, rec, strand, read_idx), cols in zip(jobs, alignments):
             if cols is None or len(cols) == 0:
                 continue
@@ -187,7 +216,7 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
             if output_scores:
                 from .scorereads import read_model_score
                 ao = cols.to_rows()
-                contig = proc.references[rec.tid]
+                contig = references[rec.tid]
                 orig = read_model_score(sr, strand, fai, contig, ao,
                                         alphabet=alphabet.name)
                 out.write(f"{round_idx} {model.name} {read_idx} {strand} "
@@ -203,9 +232,9 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
                               f"Rescaled {rescaled}\n")
                     out.write(f"{round_idx} {model.name} {read_idx} {strand} "
                               f"Delta {rescaled - orig}\n")
-            _consume_columns(cols, sr, strand, summaries, event_count,
-                             match_count, stay_count, rng)
-    proc.close()
+            _extract_job_events(cols, sr, strand, acc)
+        _finalize_events(acc, summaries, event_count, match_count,
+                         stay_count, rng)
     for r in np.flatnonzero(match_count):
         summaries[r].num_matches = int(match_count[r])
     for r in np.flatnonzero(stay_count):

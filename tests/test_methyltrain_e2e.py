@@ -213,9 +213,11 @@ def test_consume_columns_matches_scalar_row_loop(tmp_path, monkeypatch):
     match_v = np.zeros(R, np.int64)
     stay_v = np.zeros(R, np.int64)
     rng_v = np.random.default_rng(9)
+    acc = {"count_r": [], "count_st": [], "r": [], "l": [], "sv": []}
     for (sr, rec, strand, _), cols in zip(jobs, cols_list):
-        mt_app._consume_columns(cols, sr, strand, summaries, count_v,
-                                match_v, stay_v, rng_v)
+        mt_app._extract_job_events(cols, sr, strand, acc)
+    mt_app._finalize_events(acc, summaries, count_v, match_v, stay_v,
+                            rng_v)
 
     assert count_s.sum() > 200, "corpus produced no training events"
     np.testing.assert_array_equal(count_s, count_v)
