@@ -545,13 +545,37 @@ def _forward_blocks_wire(lib, reg: _ScoreArrays, e1, estep, nev, ru_src,
         np.int32)
 
     n_tabs = len(reg.mu_tabs)
-    S = max(len(t) for t in reg.mu_tabs)
+    S_full = max(len(t) for t in reg.mu_tabs)
+    # the chunk's windows touch a fraction of the model's |alphabet|^k
+    # states; remap rank rows to the used subset so the device tables
+    # (the drain's dominant h2d payload, ~12 MB/chunk full-size at cpg
+    # shapes) shrink to the touched states — gathered values identical
+    uniq = np.unique(rank_buf)
+    S = 8
+    while S < len(uniq):
+        S *= 2
+    if S < S_full:
+        rank_buf = np.searchsorted(uniq, rank_buf).astype(np.int32)
+    else:
+        S = S_full
+        uniq = None
     tabs = np.zeros((3, n_tabs, S), np.float32)
     for t, (mt, st) in enumerate(zip(reg.mu_tabs, reg.sig_tabs)):
+        mt = np.asarray(mt, np.float32)
         sig = np.maximum(np.asarray(st, np.float32), 1e-30)
-        tabs[0, t, :len(mt)] = mt
-        tabs[1, t, :len(st)] = 1.0 / sig
-        tabs[2, t, :len(st)] = LOG_INV_SQRT_2PI - np.log(sig)
+        if uniq is not None:
+            # ranks beyond a shorter table read the zero pad, exactly
+            # as the full-size layout's zero init did
+            ok = uniq < len(mt)
+            idx = np.minimum(uniq, len(mt) - 1)
+            tabs[0, t, :len(uniq)] = np.where(ok, mt[idx], 0.0)
+            tabs[1, t, :len(uniq)] = np.where(ok, 1.0 / sig[idx], 0.0)
+            tabs[2, t, :len(uniq)] = np.where(
+                ok, LOG_INV_SQRT_2PI - np.log(sig[idx]), 0.0)
+        else:
+            tabs[0, t, :len(mt)] = mt
+            tabs[1, t, :len(sig)] = 1.0 / sig
+            tabs[2, t, :len(sig)] = LOG_INV_SQRT_2PI - np.log(sig)
     tabs = np.ascontiguousarray(tabs)
 
     # per-segment (2G rows: unmeth then meth)
@@ -601,38 +625,65 @@ def _forward_blocks_wire(lib, reg: _ScoreArrays, e1, estep, nev, ru_src,
     # wire at methylation shapes.  NPT_METH_WIRE=1 keeps the flat wire.
     windows_mode = (os.environ.get("NPT_METH_WIRE", "2") == "2"
                     and lib._build_hmm_wire_compact is not None)
+    pending = []
     if windows_mode:
+        import jax
         import jax.numpy as jnp
 
         from ..ops.pallas_profile_hmm import _forward_windows_call
-        lev_dev = jnp.asarray(lev_buf)
-        tabs_dev = jnp.asarray(tabs.reshape(3, n_tabs * S))
-    pending = []
-    for (tp, kp), idxs in buckets.items():
-        bytes_per_seg = 4 * (tp + 3 * kp + 12) + 16 * kp
-        cap = 512
-        while cap * 2 * bytes_per_seg <= (45 << 20) and cap < 4096:
-            cap *= 2
-        for lo in range(0, len(idxs), cap):
-            sel = asi(idxs[lo:lo + cap])
-            B = 1 << int(np.ceil(np.log2(max(len(sel), 1))))
-            B = max(B, 8)
-            if windows_mode:
+        # build every bucket's wire first, then ship levels + tables +
+        # ALL wires in ONE h2d transfer (each separate jnp.asarray pays
+        # a relay round trip — the drain dispatch was ~5 transfers x 8
+        # chunks = 1.25 s of main-thread host at 512 reads)
+        built = []
+        for (tp, kp), idxs in buckets.items():
+            bytes_per_seg = 4 * (tp + 3 * kp + 12) + 16 * kp
+            cap = 512
+            while cap * 2 * bytes_per_seg <= (45 << 20) and cap < 4096:
+                cap *= 2
+            for lo in range(0, len(idxs), cap):
+                sel = asi(idxs[lo:lo + cap])
+                B = 1 << int(np.ceil(np.log2(max(len(sel), 1))))
+                B = max(B, 8)
                 wire_i = np.empty((B, kp + 16), np.int32)
                 lib.build_hmm_wire_compact(
                     rank_buf, lev_pos, estep2, nev2, rk_pos, rk_step,
                     nk2, tab2, trans8, clips, trans_pad, sel, B, kp,
                     wire_i)
-                dev = _forward_windows_call(wire_i, lev_dev, tabs_dev,
-                                            tp, kp, S)
-            else:
+                built.append((tp, kp, B, sel, wire_i))
+        n_lev = len(lev_buf)
+        n_tab = 3 * n_tabs * S
+        pieces = [lev_buf, tabs.reshape(-1)]
+        pieces += [w.view(np.float32).ravel() for _, _, _, _, w in built]
+        big_dev = jnp.asarray(np.concatenate(pieces))
+        lev_dev = big_dev[:n_lev]
+        tabs_dev = big_dev[n_lev:n_lev + n_tab].reshape(3, n_tabs * S)
+        off = n_lev + n_tab
+        for tp, kp, B, sel, wire_i in built:
+            sz = B * (kp + 16)
+            w_dev = jax.lax.bitcast_convert_type(
+                big_dev[off:off + sz], jnp.int32).reshape(B, kp + 16)
+            off += sz
+            dev = _forward_windows_call(w_dev, lev_dev, tabs_dev,
+                                        tp, kp, S)
+            pending.append((sel, dev, len(sel)))
+    else:
+        for (tp, kp), idxs in buckets.items():
+            bytes_per_seg = 4 * (tp + 3 * kp + 12) + 16 * kp
+            cap = 512
+            while cap * 2 * bytes_per_seg <= (45 << 20) and cap < 4096:
+                cap *= 2
+            for lo in range(0, len(idxs), cap):
+                sel = asi(idxs[lo:lo + cap])
+                B = 1 << int(np.ceil(np.log2(max(len(sel), 1))))
+                B = max(B, 8)
                 wire = np.empty((B, tp + 3 * kp + 12), np.float32)
                 lib.build_hmm_wire(lev_buf, rank_buf, tabs, lev_pos,
                                    estep2, nev2, rk_pos, rk_step, nk2,
                                    tab2, trans8, clips, trans_pad, sel, B,
                                    tp, kp, float(NEG), wire)
                 dev = _profile_hmm_forward_call_packed(wire, tp)
-            pending.append((sel, dev, len(sel)))
+                pending.append((sel, dev, len(sel)))
     cat = jnp.concatenate([dev[:b, 0] for _, dev, b in pending]) \
         if len(pending) > 1 else pending[0][1][:pending[0][2], 0]
 
@@ -1253,15 +1304,24 @@ def _call_single(opt, out):
     from ..utils.profiler import profile_scope
 
     def load_and_build(records):
-        """Worker-side chunk stage: signal load + ingest + task geometry.
-        The geometry is native-heavy (ctypes releases the GIL), so
-        running it on the loader workers overlaps it with the main
-        thread's scoring dispatch and the previous chunk's fetch."""
+        """Worker-side chunk stage: signal load + ingest + task geometry
+        + (deferred mode) the scoring dispatch itself.  The geometry is
+        native-heavy (ctypes releases the GIL) and the dispatch is
+        h2d-bound (~12 MB of per-read tables per chunk through the
+        relay), so running both on the loader workers overlaps them
+        with the other chunks' work; the main thread only collects the
+        deferred handles and issues ONE batch-level fetch."""
         reads = load_chunk(records)
         reg = _ScoreArrays() if use_array else None
         with profile_scope("meth.collect"):
             built = [build_task(item, reads, reg) for item in records]
-        return [t for t in built if t is not None], reg
+        tasks = [t for t in built if t is not None]
+        if defer_fetch:
+            with profile_scope("meth.drain_dispatch_w"):
+                r = score_batch_arrays(tasks, reg, defer=True)
+            if isinstance(r, tuple) and r[0] == "defer":
+                return tasks, ("dispatched", r)
+        return tasks, reg
 
     def build_task(item, reads, reg):
         read_idx, rec = item
@@ -1325,7 +1385,8 @@ def _call_single(opt, out):
     from concurrent.futures import ThreadPoolExecutor
 
     write_site_header(out)
-    with ThreadPoolExecutor(2) as ing_pool, \
+    n_ing = max(1, int(os.environ.get("NPT_METH_ING_WORKERS", "3")))
+    with ThreadPoolExecutor(n_ing) as ing_pool, \
             ThreadPoolExecutor(2) as fetch_pool:
         for batch in proc.batches():
             subs = [batch[i:i + pipe_chunk]
@@ -1358,7 +1419,9 @@ def _call_single(opt, out):
                 if ci + lookahead < len(subs):
                     ing_futs.append(ing_pool.submit(
                         load_and_build, subs[ci + lookahead]))
-                if use_array:
+                if isinstance(reg, tuple) and reg[0] == "dispatched":
+                    pending_defer.append((tasks,) + reg[1][1:])
+                elif use_array:
                     with profile_scope("meth.drain_prep"):
                         r = score_batch_arrays(tasks, reg,
                                                defer=defer_fetch)

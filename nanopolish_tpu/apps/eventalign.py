@@ -422,6 +422,7 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
     region_end = (proc.clip_end - 1) if (opt.window and proc.clip_end >= 0) \
         else -1
 
+    from ..utils.profiler import profile_scope
     for batch in proc.batches():
         names = sorted({rec.qname for _, rec in batch})
         reads = load_squiggle_reads(names, read_db, flags=flags,
@@ -441,6 +442,7 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
         results = align_reads_to_ref(jobs, fai, proc.references,
                                      region_start, region_end,
                                      columnar=True)
+        _e = profile_scope("ea.emit"); _e.__enter__()
         for (sr, rec, strand, read_idx), cols in zip(meta, results):
             alignment = None          # row materialization, on demand only
             if opt.sam:
@@ -464,6 +466,7 @@ def main(argv: Optional[List[str]] = None, stdout: Optional[TextIO] = None):
                     f"{s.num_events}\t{s.num_steps}\t{s.num_skips}\t"
                     f"{s.num_stays}\t{s.sum_duration:.2f}\t{sc.shift:.3f}\t"
                     f"{sc.scale:.3f}\t{sc.drift:.3f}\t{sc.var:.3f}\n")
+        _e.__exit__(None, None, None)
 
     if summary_fp:
         summary_fp.close()
