@@ -987,7 +987,12 @@ def profile_hmm_viterbi_pallas(levels, n_events, mu, sigma, log_sigma,
 def _fwd_packed_kernel(ev_ref, a_ref, b2_ref, c0_ref, nev_ref, tr_ref,
                        clip_ref, pos_ref, rev_ref, out_ref,
                        m_st, b_st, k_st, end_st, *, scan_hi):
-    i = pl.program_id(0)
+    # grid (row_blocks, time_blocks), row-major: each row block's DP
+    # carry lives in scratch across its time blocks.  Row blocking
+    # bounds VMEM by the block, not the batch, so one dispatch can take
+    # ~8x more rows — each dispatch costs a fixed ~80 ms of relay
+    # enqueue latency on remotely-attached chips (round-5 measurement)
+    i = pl.program_id(1)
     B = a_ref.shape[0]
     Rb = ev_ref.shape[1]
     KP = a_ref.shape[1]
@@ -1106,17 +1111,27 @@ def _packed_call(ev, a_tab, b2_tab, c0_tab, nev, trans, clips, pos, rev,
     B, TP = ev.shape
     KP = a_tab.shape[1]
     Rb = min(R, TP)
-    grid = TP // Rb
+    grid_t = TP // Rb
+    Bb = min(B, 2048)
+    grid_b = B // Bb
+
+    def blk(w):
+        return pl.BlockSpec((Bb, w), lambda r, t: (r, 0),
+                            memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         functools.partial(_fwd_packed_kernel, scan_hi=scan_hi),
-        grid=(grid,),
+        grid=(grid_b, grid_t),
         in_specs=[
-            pl.BlockSpec((B, Rb), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=pl.BlockSpec((B, KP), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Rb), lambda r, t: (r, t),
+                         memory_space=pltpu.VMEM),
+            blk(KP), blk(KP), blk(KP), blk(1), blk(8), blk(2),
+            blk(KP), blk(KP),
+        ],
+        out_specs=blk(KP),
         out_shape=jax.ShapeDtypeStruct((B, KP), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, KP), jnp.float32) for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((Bb, KP), jnp.float32)
+                        for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() not in ("tpu", "axon"),
@@ -1337,10 +1352,13 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
         row_id, lane_off = _pack_rows(ids[sel], widths[sel], KP)
         n_rows = int(row_id[-1]) + 1
 
-        # VMEM-derived row cap per dispatch (wire + 4 scratch rows)
+        # row cap per dispatch: the kernel row-blocks its grid (VMEM is
+        # bounded by the 2048-row block), so the cap is set by the wire
+        # h2d size; each dispatch costs a fixed ~80 ms of relay enqueue
+        # latency (round-5 measurement), so bigger is better
         bytes_per_row = 4 * (TP + 8 * KP + 13)
         cap = 256
-        while cap * 2 * bytes_per_row <= (45 << 20) and cap < 4096:
+        while cap * bytes_per_row <= (128 << 20) and cap < 32768:
             cap *= 2
         from ..utils.profiler import profile_scope
         lo_row = 0
