@@ -167,13 +167,19 @@ def score_variants_batched_arrays(variant_jobs, indel_bias: float = 1.0,
     # 5-mer model's reads would compute 6-mer ranks gathered into
     # 1024-entry tables (clamped on TPU => silently wrong screening
     # scores).  Any other model k/alphabet falls back to the object
-    # path, which uses model.k.
+    # path, which uses model.k.  Checks dedupe by (read, strand)
+    # identity — the job lists repeat the same reads ~9x per position.
     seen_ev_lists = set()
+    seen_models = set()
     for _, _, events in variant_jobs:
         if id(events) in seen_ev_lists:
             continue
         seen_ev_lists.add(id(events))
         for d in events:
+            mk = (id(d.sr), d.strand)
+            if mk in seen_models:
+                continue
+            seen_models.add(mk)
             m = d.sr.base_model[d.strand]
             if m.k != k or m.alphabet.name != "nucleotide":
                 return None
