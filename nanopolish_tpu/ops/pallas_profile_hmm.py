@@ -1335,6 +1335,16 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
     _wire_buf = np.empty(0, np.float32)
 
     pending = []
+    _disp_pool = None
+    _disp_futs = []
+
+    def _stage(idx, sel_ss, nss, wire, dims):
+        E_, Tc_, U_, Kc_, B_, R2_, npad_, TPl, KPl = dims
+        dev = _forward_packed_call(
+            jnp.asarray(wire), tabs_dev, E_, Tc_, U_, Kc_, B_, R2_,
+            npad_, TPl, KPl, scan_hi)
+        pending[idx] = (sel_ss, dev, nss)
+
     for TP in sorted({int(t) for t in tp_all}):
         sel = np.flatnonzero(tp_all == TP)
         # group-major order so _pack_rows sees groups contiguously;
@@ -1392,11 +1402,16 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
                      _tot) = (int(x) for x in _dims)
                     wire = _FP_WIRE[:total].copy()
                 _sc.__exit__(None, None, None)
-                with profile_scope("fp.dispatch"):
-                    dev = _forward_packed_call(
-                        jnp.asarray(wire), tabs_dev, E, Tc, U, Kc, B,
-                        R2, npad, TP, KP, scan_hi)
-                pending.append((sel[ss], dev, len(ss)))
+                # h2d + dispatch on a small pool: jnp.asarray of a big
+                # wire blocks on the relay write; staged off-thread it
+                # overlaps the next chunk's assembly and other stagings
+                if _disp_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    _disp_pool = ThreadPoolExecutor(3)
+                _disp_futs.append(_disp_pool.submit(
+                    _stage, len(pending), sel[ss], len(ss), wire,
+                    (E, Tc, U, Kc, B, R2, npad, TP, KP)))
+                pending.append(None)
                 lo_row = hi_row
                 continue
 
@@ -1460,6 +1475,12 @@ def forward_packed(levels_unique, n_ev_u, tabs, rank_mat, n_km_u, trans_u,
                     npad, TP, KP, scan_hi)
             pending.append((sel[ss], dev, len(ss)))
             lo_row = hi_row
+    if _disp_pool is not None:
+        from ..utils.profiler import profile_scope as _psd
+        with _psd("fp.dispatch"):
+            for f in _disp_futs:
+                f.result()
+            _disp_pool.shutdown()
     from ..utils.syncstats import timed_fetch
     flat = timed_fetch(jnp.concatenate([d[:b] for _, d, b in pending])) \
         if len(pending) > 1 else \

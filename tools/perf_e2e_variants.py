@@ -93,7 +93,10 @@ def build_corpus(d):
 def main():
     with tempfile.TemporaryDirectory() as d:
         fastq, bam, draft_fa, draft, truth, subs = build_corpus(d)
-        for tag in ("cold", "warm"):
+        # relay moods flap on a minutes scale; sample warm repeatedly
+        tags = ["cold"] + ["warm"] * int(os.environ.get("NPT_E2E_REPS",
+                                                        "1"))
+        for tag in tags:
             vcf_path = os.path.join(d, f"polished_{tag}.vcf")
             pr = None
             if tag == "warm" and os.environ.get("NPT_E2E_PROFILE"):
