@@ -121,6 +121,9 @@ def _job_total_memo(alignments) -> dict:
     return m
 
 
+_DEFER = object()        # sentinel marking a deferred memo key
+
+
 def _events_memo_key(events) -> tuple:
     """Identity of an event-sequence list for the job-total memo (the
     EventSequence objects are rebuilt every polishing round but describe
@@ -235,15 +238,23 @@ def score_variants_batched_arrays(variant_jobs, indel_bias: float = 1.0,
                 _events_memo_key(events))
         rows, ekey = ent
         if total_memo is not None:
-            kkey = (((base_seq, "nucleotide"),),
-                    ((var_seq, "nucleotide"),),
-                    ekey,
-                    screen_threshold, chunk_reads, indel_bias)
-            hit = total_memo.get(kkey)
-            if hit is not None:
-                totals[ji] = hit
-                continue
-            job_keys[ji] = kkey
+            if total_memo:
+                kkey = (((base_seq, "nucleotide"),),
+                        ((var_seq, "nucleotide"),),
+                        ekey,
+                        screen_threshold, chunk_reads, indel_bias)
+                hit = total_memo.get(kkey)
+                if hit is not None:
+                    totals[ji] = hit
+                    continue
+                job_keys[ji] = kkey
+            else:
+                # first screening pass of a region: every lookup would
+                # miss, so key construction (+hash of two window
+                # strings per job — 450k jobs at 50 kb) defers to the
+                # store pass, which keys only plausible survivors (the
+                # only jobs the polish loop ever re-screens)
+                job_keys[ji] = (_DEFER, ekey)
         job_base[ji] = seq_row(base_seq)
         job_var[ji] = seq_row(var_seq)
         job_evlist[ji] = rows
@@ -384,9 +395,20 @@ def score_variants_batched_arrays(variant_jobs, indel_bias: float = 1.0,
         lo += step
         step *= 2
     if total_memo is not None:
+        keep_thr = -screen_threshold if screen_threshold is not None \
+            else float("-inf")
         for ji, kk in enumerate(job_keys):
-            if kk is not None:
-                total_memo[kk] = totals[ji]
+            if kk is None:
+                continue
+            if kk[0] is _DEFER:
+                # deferred key (first pass): rebuild the full key only
+                # for plausible survivors
+                if not (totals[ji] > keep_thr) or job_base[ji] < 0:
+                    continue
+                kk = (((seq_list[job_base[ji]], "nucleotide"),),
+                      ((seq_list[job_var[ji]], "nucleotide"),),
+                      kk[1], screen_threshold, chunk_reads, indel_bias)
+            total_memo[kk] = totals[ji]
     return totals.tolist()
 
 
@@ -719,12 +741,19 @@ def score_variant_group(group: VariantGroup, base_haplotype: Haplotype,
 
     b = batcher if batcher is not None \
         else ScoreBatcher(opts.indel_bias, memo=memo)
+    # per-haplotype work (sequence string, methylated alternatives incl.
+    # their HMMInputSequence builds, memo-key fragments) hoisted out of
+    # the read loop — it was repeated once per (read, haplotype)
+    hap_seqs = []
+    for hap, vc_idx in haplotypes:
+        seqs = generate_methylated_alternatives(hap.get_sequence(),
+                                                opts.methylation_types)
+        hap_seqs.append((seqs, seq_set_key(seqs), vc_idx))
     units = []
     for ri, ev in enumerate(events):
-        for hap, vc_idx in haplotypes:
-            seqs = generate_methylated_alternatives(hap.get_sequence(),
-                                                    opts.methylation_types)
-            units.append((vc_idx, read_ids[ri], b.add(seqs, ev)))
+        for seqs, frags, vc_idx in hap_seqs:
+            units.append((vc_idx, read_ids[ri],
+                          b.add(seqs, ev, frags=frags)))
 
     def finish():
         for vc_idx, rid, u in units:
