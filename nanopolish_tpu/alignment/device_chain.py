@@ -557,32 +557,42 @@ def run_device_chain(djobs: List[DeviceJob]) -> List[bool]:
             CHAIN_STATS["aborted"] += 1
             ok.append(False)
             continue
-        n = int(cur[i])
-        p = pk[i, :n].astype(np.int64)
-        # row -> round via the cursor chain; absolutes from the anchors
-        counts = np.diff(np.append(acur[i], n))
-        tr = int(trnd[i])
-        if tr >= 0:
-            # patch the tail round's rows from the raw flagged buffer
-            traw = tl[i]
-            trows = traw[traw >= 0].astype(np.int64)
-            seg0 = int(acur[i][tr])
-            if len(trows) != counts[tr]:
-                CHAIN_STATS["aborted"] += 1
-                ok.append(False)
-                continue
-            p[seg0:seg0 + counts[tr]] = trows
+        try:
+            n = int(cur[i])
+            if n > max_rows:
+                raise ValueError("cursor overflow")
+            p = pk[i, :n].astype(np.int64)
+            # row -> round via the cursor chain; absolutes from anchors
+            counts = np.diff(np.append(acur[i], n))
+            tr = int(trnd[i])
+            if tr >= 0:
+                # patch the tail round's rows from the flagged buffer
+                traw = tl[i]
+                trows = traw[traw >= 0].astype(np.int64)
+                seg0 = int(acur[i][tr])
+                if len(trows) != counts[tr]:
+                    raise ValueError("tail count mismatch")
+                p[seg0:seg0 + counts[tr]] = trows
+            t_of = p & 0x1FF
+            is_m = (p >> 9) & 1
+            bkm = ((p >> 10) & 0x3FF) - 256
+            rof = np.repeat(np.arange(len(counts)), counts)
+            ae = aev[i][rof]
+            stride = 2 * (ae & 1) - 1
+            out_ev = (ae >> 1) + t_of * stride
+            out_ref = aref[i][rof] + bkm
+            out_st = np.where(is_m, 77, 66).astype(np.uint8)
+        except ValueError:
+            # inconsistent chain record: re-run this job on the host
+            # wavefront instead of crashing the batch
+            CHAIN_STATS["aborted"] += 1
+            ok.append(False)
+            continue
         CHAIN_STATS["chained"] += 1
         job = d.job
-        t_of = p & 0x1FF
-        is_m = (p >> 9) & 1
-        bkm = ((p >> 10) & 0x3FF) - 256
-        rof = np.repeat(np.arange(len(counts)), counts)
-        ae = aev[i][rof]
-        stride = 2 * (ae & 1) - 1
-        job.out_ev.append((ae >> 1) + t_of * stride)
-        job.out_ref.append(aref[i][rof] + bkm)
-        job.out_st.append(np.where(is_m, 77, 66).astype(np.uint8))
+        job.out_ev.append(out_ev)
+        job.out_ref.append(out_ref)
+        job.out_st.append(out_st)
         job.done = True
         ok.append(True)
     _u.__exit__(None, None, None)
