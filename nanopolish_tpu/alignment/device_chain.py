@@ -214,7 +214,6 @@ def _chain_program(wire, B, P, Rk, L, Nc, k_arr, max_rounds, max_rows):
     ref_offset = take(B, as_int=True)
     ki = jnp.arange(KP, dtype=jnp.int32)
     ti = jnp.arange(TP, dtype=jnp.int32)
-    rows_b = jnp.arange(B, dtype=jnp.int32)
     clips0 = jnp.zeros((B, 2), jnp.float32)
 
     def vsearch(mat, vals):
@@ -454,7 +453,6 @@ def run_device_chain(djobs: List[DeviceJob]) -> List[bool]:
     Rk = _pad2(max(len(d.ranks) for d in djobs))
     L = _pad2(max(len(d.levels) for d in djobs))
     Nc = _pad2(max(len(d.closest) for d in djobs))
-    S = max(len(d.mu_tab) for d in djobs)
     max_range = max(d.max_range for d in djobs)
     max_rows = max_range + 64
     max_rounds = max_range // 20 + 32
@@ -565,6 +563,13 @@ def run_device_chain(djobs: List[DeviceJob]) -> List[bool]:
             # row -> round via the cursor chain; absolutes from anchors
             counts = np.diff(np.append(acur[i], n))
             tr = int(trnd[i])
+            reg_counts = counts if tr < 0 else \
+                np.delete(counts, tr)
+            if reg_counts.size and reg_counts.max() > CHAIN_W:
+                # a regular round can never keep more than the block
+                # (OUTPUT_STRIDE <= CHAIN_W); anything else means a
+                # corrupt record
+                raise ValueError("regular-round count overflow")
             if tr >= 0:
                 # patch the tail round's rows from the flagged buffer
                 traw = tl[i]

@@ -334,11 +334,16 @@ def align_reads_to_ref(
 
         with profile_scope("ea.stage_jobs"):
             staged = []
+            n_inel = 0
             for j in live:
                 d = stage_job(j)
                 if d is not None:
                     staged.append(d)
-            CHAIN_STATS["ineligible"] += len(live) - len(staged)
+                elif not j.done:
+                    # jobs stage_job COMPLETED (nothing left to align)
+                    # are not chain fallbacks
+                    n_inel += 1
+            CHAIN_STATS["ineligible"] += n_inel
         if staged:
             # one chain batch per kmer size (DNA 6-mers and RNA 5-mers
             # cannot share the program's k)
@@ -435,7 +440,8 @@ def _make_job(read: SquiggleRead, record: BamRecord, strand: int,
     # rank arrays, trimmed CIGAR pairs) are reusable across repeated
     # alignments of the same record (methyltrain re-aligns every round
     # under an updated model; only the model tables change)
-    ck = (record.qname, record.tid, record.pos, strand, alphabet,
+    ck = (record.qname, record.tid, record.pos, record.flag,
+          tuple(map(tuple, record.cigar)), strand, alphabet,
           region_start, region_end)
     ent = job_cache.get(ck) if job_cache is not None else None
     if ent is None:

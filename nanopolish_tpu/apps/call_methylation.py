@@ -1321,6 +1321,10 @@ def _call_single(opt, out):
                 r = score_batch_arrays(tasks, reg, defer=True)
             if isinstance(r, tuple) and r[0] == "defer":
                 return tasks, ("dispatched", r)
+            # non-wire fallback already dispatched and returned a
+            # resolver; hand it to the main thread rather than letting
+            # it score the chunk a second time
+            return tasks, ("resolved", r)
         return tasks, reg
 
     def build_task(item, reads, reg):
@@ -1421,6 +1425,8 @@ def _call_single(opt, out):
                         load_and_build, subs[ci + lookahead]))
                 if isinstance(reg, tuple) and reg[0] == "dispatched":
                     pending_defer.append((tasks,) + reg[1][1:])
+                elif isinstance(reg, tuple) and reg[0] == "resolved":
+                    done.append((tasks, fetch_pool.submit(reg[1])))
                 elif use_array:
                     with profile_scope("meth.drain_prep"):
                         r = score_batch_arrays(tasks, reg,
