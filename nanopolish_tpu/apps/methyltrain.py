@@ -157,8 +157,11 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
     stay_count = np.zeros(n_states, np.int64)
 
     output_scores = getattr(opt, "output_scores", False) and out is not None
+    # namespaced sub-caches (read names share the outer dict otherwise)
     job_cache = None if read_cache is None else \
         read_cache.setdefault("__jobs__", {})
+    reads_cache = None if read_cache is None else \
+        read_cache.setdefault("__reads__", {})
     # decoded BAM batches + region bounds are round-invariant; cache them
     # with the reads (the per-round re-decode was ~0.2 s/round at 256)
     bam_cache = read_cache.get("__bam__") if read_cache is not None else None
@@ -178,22 +181,22 @@ def collect_round_events(opt, read_db, fai, model: PoreModel, rng,
         batches, references, region_start, region_end = bam_cache
     for batch in batches:
         names = sorted({rec.qname for _, rec in batch})
-        if read_cache is not None and all(n_ in read_cache for n_ in names):
+        if reads_cache is not None and \
+                all(n_ in reads_cache for n_ in names):
             reads = {}
             for n_ in names:
-                sr, orig_scalings = read_cache[n_]
+                sr, orig_scalings = reads_cache[n_]
                 if sr is not None:
                     sr.scalings = list(orig_scalings)
-                reads[n_] = sr
-            reads = {n_: r for n_, r in reads.items() if r is not None}
+                    reads[n_] = sr
         else:
             reads = load_squiggle_reads(names, read_db,
                                         stats=GLOBAL_READ_STATS,
                                         num_threads=opt.threads)
-            if read_cache is not None:
+            if reads_cache is not None:
                 for n_ in names:
                     sr = reads.get(n_)
-                    read_cache[n_] = (
+                    reads_cache[n_] = (
                         sr, list(sr.scalings) if sr is not None else None)
         jobs = []
         for read_idx, rec in batch:
