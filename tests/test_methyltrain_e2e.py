@@ -226,3 +226,47 @@ def test_consume_columns_matches_scalar_row_loop(tmp_path, monkeypatch):
     for r in range(R):
         assert events_s[r] == summaries[r].events, r
     PoreModelSet.reset()
+
+
+def test_finalize_events_reservoir_over_cap(monkeypatch):
+    """The bulk/scalar split in _finalize_events must reproduce the
+    scalar reservoir exactly when ranks exceed MAX_EVENTS — the rng
+    stream only sees over-cap events, in arrival order."""
+    monkeypatch.setattr(mt_app, "MAX_EVENTS", 7)
+    rng = np.random.default_rng(3)
+    R = 16
+    n = 600
+    r_arr = rng.integers(0, R, n)
+    l_arr = rng.normal(90, 10, n)
+    sv_arr = np.round(rng.random(n), 3)
+
+    # scalar reference (the original per-event loop)
+    events_s = [[] for _ in range(R)]
+    count_s = np.zeros(R, np.int64)
+    rng_s = np.random.default_rng(11)
+    for rank, level, svar in zip(r_arr.tolist(), l_arr.tolist(),
+                                 sv_arr.tolist()):
+        c = count_s[rank] = count_s[rank] + 1
+        if c <= mt_app.MAX_EVENTS:
+            events_s[rank].append((level, svar))
+        else:
+            loc = int(rng_s.integers(0, c))
+            if loc < mt_app.MAX_EVENTS:
+                events_s[rank][loc] = (level, svar)
+
+    # vectorized path, split across three finalize calls (batches) with
+    # uneven boundaries so the cap is crossed mid-batch
+    summaries = [mt_app.KmerSummary() for _ in range(R)]
+    count_v = np.zeros(R, np.int64)
+    mc = np.zeros(R, np.int64)
+    sc = np.zeros(R, np.int64)
+    rng_v = np.random.default_rng(11)
+    for lo, hi in ((0, 70), (70, 301), (301, n)):
+        acc = {"count_r": [], "count_st": [],
+               "r": [r_arr[lo:hi]], "l": [l_arr[lo:hi]],
+               "sv": [sv_arr[lo:hi]]}
+        mt_app._finalize_events(acc, summaries, count_v, mc, sc, rng_v)
+
+    np.testing.assert_array_equal(count_s, count_v)
+    for r in range(R):
+        assert summaries[r].events == events_s[r], r
