@@ -318,11 +318,14 @@ def _seg_summary(labels, n_samples):
                       lastidx(P, T), cliffs], axis=1)    # [LB, 5]
 
 
-def segmentation_summaries_pallas(samples, n_samples, scale, shift, var,
-                                  params: SegmentationParams = None,
-                                  interpret=None):
-    """Like segmentation_labels_pallas but returns the [B, 5] summary
-    (see _seg_summary) with the label matrix reduced on device."""
+def segmentation_summaries_pallas_async(samples, n_samples, scale, shift,
+                                        var,
+                                        params: SegmentationParams = None,
+                                        interpret=None):
+    """Dispatch-only variant of segmentation_summaries_pallas: returns the
+    [LB, 5] summary as a DEVICE array (caller slices [:B] after fetching).
+    Lets segment_reads queue several 128-lane chunks before blocking on
+    any fetch, so chunk fetches overlap later chunks' kernels."""
     if params is None:
         params = SegmentationParams()
     if interpret is None:
@@ -348,6 +351,16 @@ def segmentation_summaries_pallas(samples, n_samples, scale, shift, var,
     labels, _ = _segmentation_viterbi_pallas_call(
         s_nb, sc, sh, va, last, ns.astype(np.int32), params,
         interpret=interpret)
-    summ = _seg_summary(labels, jnp.asarray(ns[0].astype(np.int32)))
+    return _seg_summary(labels, jnp.asarray(ns[0].astype(np.int32)))
+
+
+def segmentation_summaries_pallas(samples, n_samples, scale, shift, var,
+                                  params: SegmentationParams = None,
+                                  interpret=None):
+    """Like segmentation_labels_pallas but returns the [B, 5] summary
+    (see _seg_summary) with the label matrix reduced on device."""
+    B = np.asarray(samples).shape[0]
+    summ = segmentation_summaries_pallas_async(
+        samples, n_samples, scale, shift, var, params, interpret=interpret)
     from ..utils.syncstats import timed_fetch
     return timed_fetch(summ)[:B]

@@ -212,41 +212,62 @@ def segment_reads(samples_list: List[np.ndarray], scalings_list,
     impl = os.environ.get("NPT_SEG_IMPL", "auto")
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() in ("tpu", "axon"))
-    if use_pallas and B <= 128:
-        # pad N to a power of two so the kernel compiles once per bucket
-        # instead of once per batch shape (remote compiles cost minutes)
-        from .pallas_segmentation import segmentation_labels_pallas
-        Np = 1024
-        while Np < N:
-            Np *= 2
-        samples = np.full((B, Np), 100.0, np.float32)
-        n_samples = np.zeros(B, np.int32)
-        sc = np.zeros((B, 3), np.float32)
-        for i, (s, scals) in enumerate(zip(samples_list, scalings_list)):
-            samples[i, :len(s)] = s
-            n_samples[i] = len(s)
-            sc[i] = scals
-        from .pallas_segmentation import segmentation_summaries_pallas
-        summ = segmentation_summaries_pallas(
-            samples, n_samples, sc[:, 0], sc[:, 1], sc[:, 2], params)
+    if use_pallas:
+        # Any batch size rides the device-summary path: the kernel is
+        # lane-major (128 reads per dispatch), so larger batches split
+        # into 128-read chunks.  All chunks are DISPATCHED before any is
+        # fetched, so each chunk's [128, 5] fetch overlaps later chunks'
+        # kernels — B=512 costs 4 queued kernels + 4 tiny pipelined d2h,
+        # not a [N, B] label fetch + a per-read host loop.
+        from .pallas_segmentation import segmentation_summaries_pallas_async
+        from ..utils.syncstats import timed_fetch
+        CH = 128
+        pend = []
+        for c0 in range(0, B, CH):
+            chunk = samples_list[c0:c0 + CH]
+            Bc = len(chunk)
+            Nc = max(8, max(len(s) for s in chunk))
+            # pad N to a power of two so the kernel compiles once per
+            # bucket instead of once per batch shape (remote compiles
+            # cost minutes)
+            Np = 1024
+            while Np < Nc:
+                Np *= 2
+            samples = np.full((Bc, Np), 100.0, np.float32)
+            n_samples = np.zeros(Bc, np.int32)
+            sc = np.zeros((Bc, 3), np.float32)
+            for i, (s, scals) in enumerate(
+                    zip(chunk, scalings_list[c0:c0 + CH])):
+                samples[i, :len(s)] = s
+                n_samples[i] = len(s)
+                sc[i] = scals
+            summ_dev = segmentation_summaries_pallas_async(
+                samples, n_samples, sc[:, 0], sc[:, 1], sc[:, 2], params)
+            pend.append((summ_dev, n_samples))
+        # one [n_chunks*LB, 5] fetch instead of one d2h round-trip per
+        # chunk (each ~a full relay latency)
+        summ_all = timed_fetch(jnp.concatenate([p[0] for p in pend], axis=0))
+        lb = pend[0][0].shape[0]
         out = []
-        for i in range(B):
-            n = int(n_samples[i])
-            s_, l_, a_, p_, cliffs = (int(x) for x in summ[i])
-            seg_start = s_ if s_ >= 0 else 0
-            leader = l_ if l_ >= 0 else 1
-            adapter = a_ if a_ >= 0 else 2
-            polya = p_ if p_ >= 0 else 3
-            # identical defaulting quirk to _extract_segmentation: the
-            # fallback keys on the VALUES (a real transition at index
-            # 1/2/3 triggers it exactly like the scalar loop)
-            if leader == 1 or adapter == 2 or polya == 3:
-                leader = n - 3
-                adapter = n - 2
-                polya = n - 1
-            out.append(Segmentation(start=seg_start, leader=leader,
-                                    adapter=adapter, polya=polya,
-                                    cliffs=cliffs))
+        for ci, (_, n_samples) in enumerate(pend):
+            summ = summ_all[ci * lb:ci * lb + len(n_samples)]
+            for i in range(len(n_samples)):
+                n = int(n_samples[i])
+                s_, l_, a_, p_, cliffs = (int(x) for x in summ[i])
+                seg_start = s_ if s_ >= 0 else 0
+                leader = l_ if l_ >= 0 else 1
+                adapter = a_ if a_ >= 0 else 2
+                polya = p_ if p_ >= 0 else 3
+                # identical defaulting quirk to _extract_segmentation:
+                # the fallback keys on the VALUES (a real transition at
+                # index 1/2/3 triggers it exactly like the scalar loop)
+                if leader == 1 or adapter == 2 or polya == 3:
+                    leader = n - 3
+                    adapter = n - 2
+                    polya = n - 1
+                out.append(Segmentation(start=seg_start, leader=leader,
+                                        adapter=adapter, polya=polya,
+                                        cliffs=cliffs))
         return out
 
     samples = np.full((B, N), 100.0, np.float32)
